@@ -1,0 +1,58 @@
+"""Completion metrics: chamfer (cd_p / cd_t), F-score, EMD.
+
+Numerics match the reference exactly:
+
+- ``calc_cd``  — reference ``completion/model_utils.py:67-77``. NOTE the
+  argument order quirk: the reference calls ``cham_loss(gt, output)`` so
+  dist1 is gt->output and dist2 is output->gt; cd_p/cd_t are symmetric, but
+  fscore's (precision, recall) order depends on it.
+- ``fscore``   — reference ``utils/metrics/CD/fscore.py:3-16``: threshold on
+  SQUARED distances (default 1e-4), NaN -> 0.
+- ``calc_emd`` — reference ``completion/model_utils.py:80-85``:
+  sqrt(dist).mean over points.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from mvp_benchmark_tpu.ops import chamfer_distance, emd_auction
+
+
+def fscore(
+    dist1: jnp.ndarray, dist2: jnp.ndarray, threshold: float = 1e-4
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """F-score at a squared-distance threshold. dist1/dist2: (B, N)."""
+    precision_1 = jnp.mean((dist1 < threshold).astype(jnp.float32), axis=1)
+    precision_2 = jnp.mean((dist2 < threshold).astype(jnp.float32), axis=1)
+    denom = precision_1 + precision_2
+    f = 2.0 * precision_1 * precision_2 / denom
+    f = jnp.where(denom == 0.0, 0.0, f)
+    return f, precision_1, precision_2
+
+
+def calc_cd(output: jnp.ndarray, gt: jnp.ndarray, calc_f1: bool = False):
+    """Chamfer metrics. output/gt: (B, N, 3).
+
+    Returns (cd_p, cd_t) or (cd_p, cd_t, f1), each (B,).
+    """
+    dist1, dist2, _, _ = chamfer_distance(gt, output)
+    cd_p = (jnp.sqrt(dist1).mean(axis=1) + jnp.sqrt(dist2).mean(axis=1)) / 2.0
+    cd_t = dist1.mean(axis=1) + dist2.mean(axis=1)
+    if calc_f1:
+        f1, _, _ = fscore(dist1, dist2)
+        return cd_p, cd_t, f1
+    return cd_p, cd_t
+
+
+def calc_emd(
+    output: jnp.ndarray,
+    gt: jnp.ndarray,
+    eps: float = 0.005,
+    iterations: int = 50,
+) -> jnp.ndarray:
+    """Auction EMD metric: sqrt(squared assignment distance) averaged. (B,)."""
+    dist, _ = emd_auction(output, gt, eps, iterations)
+    return jnp.sqrt(dist).mean(axis=1)

@@ -1,0 +1,192 @@
+"""Shared flax.linen building blocks for the benchmark models.
+
+Layout convention: all point features are channels-LAST — (B, N, C) or
+(B, N, K, C) — so the feature dim maps to TPU lanes and 1x1 "convolutions"
+are plain Dense layers feeding the MXU. The reference's channels-first
+Conv1d/Conv2d(k=1) stacks translate 1:1.
+
+Initializers match PyTorch defaults (kaiming-uniform with a=sqrt(5), i.e.
+U(+-1/sqrt(fan_in)) for both weight and bias) so training dynamics track the
+reference.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+
+def torch_linear_init(key, shape, dtype=jnp.float32):
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — torch nn.Linear/Conv default."""
+    fan_in = shape[0] if len(shape) == 2 else math.prod(shape[:-1])
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class TorchDense(nn.Module):
+    """nn.Dense with torch-default init; == Conv1d/Conv2d(kernel=1)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", torch_linear_init, (x.shape[-1], self.features)
+        )
+        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
+        if self.use_bias:
+            fan_in = x.shape[-1]
+            bound = 1.0 / math.sqrt(fan_in)
+            bias = self.param(
+                "bias",
+                lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+                (self.features,),
+            )
+            y = y + bias
+        return y
+
+
+class BatchNorm(nn.Module):
+    """torch-compatible BatchNorm over the last (channel) axis.
+
+    torch momentum 0.1 == flax momentum 0.9; eps 1e-5. Under a sharded jit
+    batch axis the batch statistics are computed globally by XLA — this is
+    the NaiveSyncBatchNorm equivalent (reference utils/mm3d_pn2/ops/norm.py)
+    for free.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+        )(x)
+
+
+class MLP(nn.Module):
+    """Dense [+BN] [+ReLU] stack on the last axis.
+
+    channels: output sizes per layer. If bn, BatchNorm after each Dense.
+    Activation after every layer except (optionally) the last.
+    """
+
+    channels: Sequence[int]
+    bn: bool = False
+    last_act: bool = True
+    act: Callable = nn.relu
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        n = len(self.channels)
+        for i, ch in enumerate(self.channels):
+            x = TorchDense(ch, use_bias=self.use_bias and not self.bn)(x)
+            if self.bn:
+                x = BatchNorm()(x, train)
+            if i < n - 1 or self.last_act:
+                x = self.act(x)
+        return x
+
+
+def attention(query, key, value, mask=None):
+    """Scaled dot-product attention (reference dcp.py:26-32).
+
+    query/key/value: (..., N, d). Returns (out, attn weights).
+    """
+    d_k = query.shape[-1]
+    scores = jnp.einsum(
+        "...nd,...md->...nm", query, key, preferred_element_type=jnp.float32
+    ) / math.sqrt(d_k)
+    if mask is not None:
+        scores = jnp.where(mask == 0, -1e9, scores)
+    p_attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "...nm,...md->...nd", p_attn, value, preferred_element_type=jnp.float32
+    )
+    return out, p_attn
+
+
+class UnbiasedLayerNorm(nn.Module):
+    """LayerNorm with torch-std semantics: (x - mean) / (std_unbiased + eps).
+
+    Matches the reference's hand-rolled LayerNorm (dcp.py:144-154), which
+    divides by the UNBIASED std plus eps (not sqrt(var + eps)).
+    """
+
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        a = self.param("scale", nn.initializers.ones, (d,))
+        b = self.param("bias", nn.initializers.zeros, (d,))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / (d - 1)
+        std = jnp.sqrt(var)
+        return a * (x - mean) / (std + self.epsilon) + b
+
+
+def get_graph_feature(x, k: int = 20, minus_center: bool = True,
+                      include_center_first: bool = False):
+    """DGCNN edge features from dense kNN.
+
+    x: (B, N, C) channels-last. Returns (B, N, k, 2C).
+
+    minus_center=True  -> concat [x_i, x_j - x_i]   (completion model_utils:156-178)
+    minus_center=False -> concat [x_i, x_j]
+    include_center_first=False matches the registration variant's concat order
+    [x_j, x_i] (dcp.py:44-66).
+    """
+    from mvp_benchmark_tpu import ops
+
+    idx = ops.knn_indices(x, k)  # kNN in the feature space of x
+    neigh = ops.grouping_operation(x, idx)               # (B, N, k, C)
+    center = jnp.broadcast_to(x[:, :, None, :], neigh.shape)
+    if minus_center:
+        return jnp.concatenate([center, neigh - center], axis=-1)
+    if include_center_first:
+        return jnp.concatenate([center, neigh], axis=-1)
+    return jnp.concatenate([neigh, center], axis=-1)
+
+
+def gen_grid_up(up_ratio: int, grid_size: float = 0.2) -> jnp.ndarray:
+    """2D folding grid, (up_ratio, 2) — reference model_utils.py:140-153."""
+    sqrted = int(math.sqrt(up_ratio)) + 1
+    num_x, num_y = 1, up_ratio
+    for i in reversed(range(1, sqrted + 1)):
+        if up_ratio % i == 0:
+            num_x = i
+            num_y = up_ratio // i
+            break
+    grid_x = jnp.linspace(-grid_size, grid_size, num_x)
+    grid_y = jnp.linspace(-grid_size, grid_size, num_y)
+    x, y = jnp.meshgrid(grid_x, grid_y, indexing="ij")
+    return jnp.stack([x, y], axis=-1).reshape(-1, 2)  # (up_ratio, 2)
+
+
+def symmetric_svd_rotation(H: jnp.ndarray) -> jnp.ndarray:
+    """Batched Kabsch rotation from covariance H (B, 3, 3) with reflection fix.
+
+    Vectorizes the per-sample torch.svd loop of the reference SVD heads
+    (dcp.py:331-381, idam.py:152-188): R = V diag(1,1,det) U^T via the
+    sign-corrected last column of V.
+    """
+    U, _, Vt = jnp.linalg.svd(H.astype(jnp.float32))
+    V = jnp.swapaxes(Vt, -1, -2)
+    R = jnp.matmul(V, jnp.swapaxes(U, -1, -2), precision=lax.Precision.HIGHEST)
+    det = jnp.linalg.det(R)
+    # Flip the sign of V's last column where det < 0 (reflection fix).
+    sign = jnp.where(det < 0, -1.0, 1.0)[:, None]
+    V = V.at[:, :, 2].multiply(sign)
+    R = jnp.matmul(V, jnp.swapaxes(U, -1, -2), precision=lax.Precision.HIGHEST)
+    return R

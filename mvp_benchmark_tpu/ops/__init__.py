@@ -1,0 +1,67 @@
+"""Geometry op library (TPU-native replacement for the reference CUDA ops).
+
+Public API (channels-last):
+
+- ``chamfer_distance``, ``emd_auction``               (metric kernels)
+- ``furthest_point_sample``, ``furthest_point_sample_with_dist``
+- ``ball_query``, ``knn_indices``, ``knn_points``, ``knn_query``
+- ``three_nn``, ``three_nn_upsampling``, ``three_interpolate``
+- ``gather_points``, ``grouping_operation``
+- ``square_distance``
+
+Dispatch policy: ops with fused Pallas TPU kernels (``pallas_kernels``) are
+used on TPU backends; everywhere else (CPU tests, multi-device CPU meshes) the
+pure-jnp golden implementations in ``jnp_ref`` run. Both share the exact
+semantics of the reference CUDA extensions (see jnp_ref docstrings for
+file:line citations).
+"""
+
+from mvp_benchmark_tpu.ops.jnp_ref import (
+    ball_query,
+    chamfer_distance as chamfer_distance_ref,
+    emd_auction,
+    furthest_point_sample as furthest_point_sample_ref,
+    furthest_point_sample_with_dist,
+    gather_points,
+    grouping_operation,
+    knn_indices,
+    knn_points,
+    knn_query,
+    square_distance,
+    three_interpolate,
+    three_nn,
+    three_nn_upsampling,
+)
+
+from mvp_benchmark_tpu.ops.dispatch import (
+    chamfer_distance,
+    furthest_point_sample,
+)
+
+from mvp_benchmark_tpu.ops.grouping import (
+    QueryAndGroup,
+    GroupAll,
+    PointsSampler,
+)
+
+__all__ = [
+    "ball_query",
+    "chamfer_distance",
+    "chamfer_distance_ref",
+    "emd_auction",
+    "furthest_point_sample",
+    "furthest_point_sample_ref",
+    "furthest_point_sample_with_dist",
+    "gather_points",
+    "grouping_operation",
+    "knn_indices",
+    "knn_points",
+    "knn_query",
+    "square_distance",
+    "three_interpolate",
+    "three_nn",
+    "three_nn_upsampling",
+    "QueryAndGroup",
+    "GroupAll",
+    "PointsSampler",
+]

@@ -1,0 +1,41 @@
+"""Backend dispatch for ops that have fused Pallas TPU kernels.
+
+On TPU the Pallas kernels in ``pallas_kernels`` run; on CPU (unit tests,
+virtual multi-device meshes) the jnp golden references run. The two are
+parity-tested against each other in ``tests/test_pallas_kernels.py``.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from mvp_benchmark_tpu.ops import jnp_ref
+
+_FORCE_REFERENCE = False
+
+
+def _on_tpu() -> bool:
+    if _FORCE_REFERENCE:
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def chamfer_distance(a, b):
+    """Bidirectional squared chamfer distance (see jnp_ref.chamfer_distance)."""
+    if _on_tpu():
+        from mvp_benchmark_tpu.ops import pallas_kernels
+
+        return pallas_kernels.chamfer_distance(a, b)
+    return jnp_ref.chamfer_distance(a, b)
+
+
+def furthest_point_sample(xyz, num_samples: int):
+    """Greedy FPS (see jnp_ref.furthest_point_sample)."""
+    if _on_tpu():
+        from mvp_benchmark_tpu.ops import pallas_kernels
+
+        return pallas_kernels.furthest_point_sample(xyz, num_samples)
+    return jnp_ref.furthest_point_sample(xyz, num_samples)

@@ -1,0 +1,456 @@
+"""Training/val engine for both benchmark tracks.
+
+Reproduces the reference loops:
+- completion: ``completion/train.py:21-192`` (alpha schedule, manual LR decay,
+  cd_p/cd_t/f1[/emd] val meters, best-per-metric checkpoints).
+- registration: ``registration/train.py:28-181`` (RotE/transE/MSE/RMSE/recall
+  meters plus the 2x2 (rot_level, match_level) split).
+
+TPU-native execution model: one jitted train step per config; the batch is
+sharded over the data axis of a device mesh (see ``parallel.mesh``), model
+state is replicated, loss/grads are averaged globally by XLA. BatchNorm
+batch statistics are computed over the GLOBAL batch (a strict upgrade over
+the reference's per-GPU DataParallel stats; equivalent to NaiveSyncBatchNorm).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import math
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mvp_benchmark_tpu.data.mvp import (
+    BatchSpec,
+    MVPCompletionDataset,
+    MVPRegistrationDataset,
+)
+from mvp_benchmark_tpu.models import get_model
+from mvp_benchmark_tpu.parallel.mesh import get_mesh, shard_batch
+from mvp_benchmark_tpu.train import checkpoint as ckpt
+from mvp_benchmark_tpu.train import optim as optim_util
+from mvp_benchmark_tpu.train.config import Config
+from mvp_benchmark_tpu.train.meters import AverageValueMeter
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# State
+# ---------------------------------------------------------------------------
+
+
+class TrainContext:
+    """Bundles model, variables, optimizer and jitted steps for one config."""
+
+    def __init__(self, cfg: Config, model, variables, tx, opt_state):
+        self.cfg = cfg
+        self.model = model
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.tx = tx
+        self.opt_state = opt_state
+
+    @property
+    def variables(self):
+        v = {"params": self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+    def load_state_dict(self, state: Dict[str, Any]):
+        self.params = state["params"]
+        self.batch_stats = state.get("batch_stats", {})
+
+
+def _init_model(cfg: Config, model, example_args, rng_seed: int = 0):
+    rngs = {
+        "params": jax.random.PRNGKey(rng_seed),
+        "dropout": jax.random.PRNGKey(rng_seed + 1),
+        "sample": jax.random.PRNGKey(rng_seed + 2),
+    }
+    variables = model.init(rngs, *example_args)
+    variables = dict(variables)
+    return variables
+
+
+def create_context(cfg: Config, model, example_args, seed: int = 0) -> TrainContext:
+    variables = _init_model(cfg, model, example_args, seed)
+    tx = optim_util.build_optimizer(cfg)
+    opt_state = tx.init(variables["params"])
+    return TrainContext(cfg, model, variables, tx, opt_state)
+
+
+# ---------------------------------------------------------------------------
+# Jitted steps (shared by both tracks)
+# ---------------------------------------------------------------------------
+
+
+def make_train_step(model, tx, kind: str):
+    """kind: 'completion' (x, gt, alpha) or 'registration' (src, tgt, T_gt)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step(params, batch_stats, opt_state, batch, alpha, rng):
+        drop_rng, sample_rng = jax.random.split(rng)
+
+        def loss_fn(p):
+            variables = {"params": p}
+            mutable = []
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+                mutable = ["batch_stats"]
+            rngs = {"dropout": drop_rng, "sample": sample_rng}
+            if kind == "completion":
+                outs = model.apply(
+                    variables, batch["inputs"], batch["gt"],
+                    prefix="train", alpha=alpha,
+                    mutable=mutable, rngs=rngs,
+                )
+            else:
+                outs = model.apply(
+                    variables, batch["src"], batch["tgt"], batch["transform"],
+                    prefix="train", mutable=mutable, rngs=rngs,
+                )
+            if mutable:
+                result, new_state = outs
+                new_bs = new_state["batch_stats"]
+            else:
+                result, new_bs = outs, batch_stats
+            # result: completion (out2, loss2, total) / registration
+            # (loss, r_err, t_err, rmse, mse)
+            if kind == "completion":
+                _, loss2, total = result
+                aux = {"fine_loss": jnp.mean(loss2)}
+            else:
+                loss, r_err, t_err, rmse, mse = result
+                total = loss
+                aux = {
+                    "r_err": jnp.mean(r_err),
+                    "t_err": jnp.mean(t_err),
+                    "rmse": jnp.mean(rmse),
+                    "mse": jnp.mean(mse),
+                }
+            return jnp.mean(total), (new_bs, aux)
+
+        (loss, (new_bs, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        aux["total_loss"] = loss
+        return params, new_bs, opt_state, aux
+
+    return step
+
+
+def make_eval_step(model, kind: str):
+    @functools.partial(jax.jit, static_argnames=("prefix",))
+    def step(params, batch_stats, batch, prefix="val"):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        rngs = {
+            "dropout": jax.random.PRNGKey(0),
+            "sample": jax.random.PRNGKey(0),
+        }
+        if kind == "completion":
+            if prefix == "test":
+                return model.apply(
+                    variables, batch["inputs"], None, prefix="test", rngs=rngs
+                )
+            return model.apply(
+                variables, batch["inputs"], batch["gt"], prefix=prefix, rngs=rngs
+            )
+        else:
+            if prefix == "test":
+                return model.apply(
+                    variables, batch["src"], batch["tgt"], None,
+                    prefix="test", rngs=rngs,
+                )
+            return model.apply(
+                variables, batch["src"], batch["tgt"], batch["transform"],
+                prefix=prefix, rngs=rngs,
+            )
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Completion track
+# ---------------------------------------------------------------------------
+
+
+def train_completion(cfg: Config, log_dir: str, data_dir: str = "./data",
+                     max_steps_per_epoch: Optional[int] = None) -> Dict[str, Any]:
+    """Completion training loop (reference completion/train.py:21-153)."""
+    metrics_list = (
+        ["cd_p", "cd_t", "emd", "f1"] if cfg.eval_emd else ["cd_p", "cd_t", "f1"]
+    )
+    best = {m: (0, 0.0) if m == "f1" else (0, math.inf) for m in metrics_list}
+    train_meter = AverageValueMeter()
+    val_meters = {m: AverageValueMeter() for m in metrics_list}
+
+    num_points = int(cfg.num_points or 2048)
+    dataset = MVPCompletionDataset("train", data_dir, num_points)
+    dataset_val = MVPCompletionDataset("val", data_dir, num_points)
+    mesh = get_mesh()
+    spec = BatchSpec(int(cfg.batch_size), shuffle=True,
+                     seed=int(cfg.manual_seed or 1))
+    val_spec = BatchSpec(int(cfg.batch_size), shuffle=False)
+
+    model = get_model(cfg.model_name, cfg)
+    b0 = next(dataset.batches(spec))
+    context = create_context(
+        cfg, model,
+        (jnp.asarray(b0["inputs"]), jnp.asarray(b0["gt"])),
+        seed=int(cfg.manual_seed or 1),
+    )
+    if cfg.load_model:
+        context.load_state_dict(ckpt.load_model(cfg.load_model)["net_state_dict"])
+        logger.info("%s's previous weights loaded.", cfg.model_name)
+
+    train_step = make_train_step(model, context.tx, "completion")
+    eval_step = make_eval_step(model, "completion")
+    rng = jax.random.PRNGKey(int(cfg.manual_seed or 1))
+
+    history = {"train_loss": [], "val": []}
+    for epoch in range(int(cfg.start_epoch or 0), int(cfg.nepoch)):
+        train_meter.reset()
+        alpha = optim_util.alpha_for_epoch(cfg, epoch)
+        lr = optim_util.epoch_lr(cfg, epoch)
+        context.opt_state = optim_util.set_learning_rate(context.opt_state, lr)
+
+        for i, batch in enumerate(dataset.batches(spec, epoch)):
+            if max_steps_per_epoch and i >= max_steps_per_epoch:
+                break
+            rng, step_rng = jax.random.split(rng)
+            sharded = shard_batch(mesh, batch, exclude=("count",))
+            a = jnp.asarray(alpha if alpha is not None else 1.0, jnp.float32)
+            (context.params, context.batch_stats, context.opt_state, aux) = (
+                train_step(
+                    context.params, context.batch_stats, context.opt_state,
+                    sharded, a, step_rng,
+                )
+            )
+            loss = float(aux["total_loss"])
+            train_meter.update(loss)
+            if i % int(cfg.step_interval_to_print or 100) == 0:
+                logger.info(
+                    "train [%d: %d] loss_type: %s fine_loss: %f total_loss: %f "
+                    "lr: %f alpha: %s",
+                    epoch, i, cfg.loss, float(aux["fine_loss"]), loss, lr, alpha,
+                )
+
+        history["train_loss"].append(train_meter.avg)
+
+        if epoch % int(cfg.epoch_interval_to_save or 1) == 0:
+            ckpt.save_model(os.path.join(log_dir, "network.pkl"),
+                            context.variables, context.opt_state)
+
+        if (epoch % int(cfg.epoch_interval_to_val or 1) == 0
+                or epoch == int(cfg.nepoch) - 1):
+            res = val_completion(
+                context, eval_step, dataset_val, val_spec, val_meters,
+                best, epoch, log_dir,
+            )
+            history["val"].append(res)
+    return {"best": best, "history": history, "context": context}
+
+
+def val_completion(context, eval_step, dataset_val, spec, val_meters, best,
+                   epoch, log_dir) -> Dict[str, float]:
+    for v in val_meters.values():
+        v.reset()
+    for batch in dataset_val.batches(spec):
+        count = int(batch["count"])
+        result = eval_step(
+            context.params, context.batch_stats,
+            {k: jnp.asarray(v) for k, v in batch.items() if k != "count"},
+            prefix="val",
+        )
+        for name, meter in val_meters.items():
+            vals = np.asarray(result[name])
+            if vals.ndim == 0:
+                meter.update(float(vals), count)
+            else:
+                meter.update(float(vals[:count].mean()), count)
+
+    log, best_log = "", ""
+    for m, meter in val_meters.items():
+        curr_best_epoch, curr_best = best[m]
+        improved = meter.avg > curr_best if m == "f1" else meter.avg < curr_best
+        if improved:
+            best[m] = (epoch, meter.avg)
+            ckpt.save_model(
+                os.path.join(log_dir, f"best_{m}_network.pkl"),
+                context.variables,
+            )
+            logger.info("Best %s net saved!", m)
+        log += f"curr_{m}: {meter.avg:f}; "
+        best_log += f"best_{m}: {best[m][1]:f} [epoch {best[m][0]}]; "
+    logger.info(log)
+    logger.info(best_log)
+    return {m: meter.avg for m, meter in val_meters.items()}
+
+
+# ---------------------------------------------------------------------------
+# Registration track
+# ---------------------------------------------------------------------------
+
+REG_METRICS = ["RotE", "transE", "MSE", "RMSE", "recall"]
+
+
+def train_registration(cfg: Config, log_dir: str, data_dir: str = "./data",
+                       max_steps_per_epoch: Optional[int] = None) -> Dict[str, Any]:
+    """Registration training loop (reference registration/train.py:28-111)."""
+    best = {m: (0, 0.0) if m == "recall" else (0, math.inf) for m in REG_METRICS}
+    val_meters = {m: AverageValueMeter() for m in REG_METRICS}
+    n_rot = int(cfg.num_rot_levels or 2)
+    n_corr = int(cfg.num_corr_levels or 2)
+    split_meters = [
+        [{m: AverageValueMeter() for m in REG_METRICS} for _ in range(n_corr)]
+        for _ in range(n_rot)
+    ]
+
+    dataset = MVPRegistrationDataset(
+        "train", max_angle=float(cfg.max_angle), max_trans=float(cfg.max_trans),
+        category=cfg.category, data_dir=data_dir,
+        num_points=int(cfg.num_points or 2048), seed=int(cfg.manual_seed or 1),
+    )
+    dataset_val = MVPRegistrationDataset(
+        "val", max_angle=float(cfg.max_angle), max_trans=float(cfg.max_trans),
+        category=cfg.category, data_dir=data_dir,
+        num_points=int(cfg.num_points or 2048),
+    )
+    mesh = get_mesh()
+    spec = BatchSpec(int(cfg.batch_size), shuffle=True,
+                     seed=int(cfg.manual_seed or 1))
+    val_spec = BatchSpec(int(cfg.batch_size), shuffle=False)
+
+    model = get_model(cfg.model_name, cfg)
+    b0 = next(dataset.batches(spec))
+    context = create_context(
+        cfg, model,
+        (jnp.asarray(b0["src"]), jnp.asarray(b0["tgt"]),
+         jnp.asarray(b0["transform"])),
+        seed=int(cfg.manual_seed or 1),
+    )
+    if cfg.load_model:
+        context.load_state_dict(ckpt.load_model(cfg.load_model)["net_state_dict"])
+        logger.info("%s's previous weights loaded.", cfg.model_name)
+
+    train_step = make_train_step(model, context.tx, "registration")
+    eval_step = make_eval_step(model, "registration")
+    rng = jax.random.PRNGKey(int(cfg.manual_seed or 1))
+    lr = float(cfg.lr)
+    plateau = optim_util.PlateauScheduler(
+        lr, float(cfg.lr_decay_rate or 0.5), float(cfg.lr_clip or 0.0)
+    )
+
+    history = {"val": []}
+    for epoch in range(int(cfg.start_epoch or 0), int(cfg.nepoch)):
+        context.opt_state = optim_util.set_learning_rate(context.opt_state, lr)
+        for i, batch in enumerate(dataset.batches(spec, epoch)):
+            if max_steps_per_epoch and i >= max_steps_per_epoch:
+                break
+            rng, step_rng = jax.random.split(rng)
+            sharded = shard_batch(
+                mesh, batch, exclude=("count", "match_level", "rot_level")
+            )
+            (context.params, context.batch_stats, context.opt_state, aux) = (
+                train_step(
+                    context.params, context.batch_stats, context.opt_state,
+                    {k: sharded[k] for k in ("src", "tgt", "transform")},
+                    jnp.asarray(1.0), step_rng,
+                )
+            )
+            if i % int(cfg.step_interval_to_print or 100) == 0:
+                logger.info(
+                    "train [%d: %d] total_loss: %.4f rot: %.4f trans: %.4f "
+                    "rmse: %.4f mse: %.4f lr: %f",
+                    epoch, i, float(aux["total_loss"]), float(aux["r_err"]),
+                    float(aux["t_err"]), float(aux["rmse"]), float(aux["mse"]),
+                    lr,
+                )
+
+        if epoch % int(cfg.epoch_interval_to_save or 1) == 0:
+            ckpt.save_model(os.path.join(log_dir, "network.pkl"),
+                            context.variables, context.opt_state)
+
+        if (epoch % int(cfg.epoch_interval_to_val or 1) == 0
+                or epoch == int(cfg.nepoch) - 1):
+            res = val_registration(
+                context, eval_step, dataset_val, val_spec, val_meters,
+                split_meters, best, epoch, log_dir,
+            )
+            history["val"].append(res)
+            # The reference instantiates ReduceLROnPlateau but never calls
+            # scheduler.step() (registration/train.py:75-76) -> constant LR.
+            # Opt-in with cfg.lr_plateau_step to actually reduce on plateau.
+            if cfg.lr_plateau_step:
+                lr = plateau.step(res["RMSE"])
+    return {"best": best, "history": history, "context": context}
+
+
+def val_registration(context, eval_step, dataset_val, spec, val_meters,
+                     split_meters, best, epoch, log_dir,
+                     rmse_thresh: float = 0.1) -> Dict[str, float]:
+    for v in val_meters.values():
+        v.reset()
+    for row in split_meters:
+        for cell in row:
+            for v in cell.values():
+                v.reset()
+
+    for batch in dataset_val.batches(spec):
+        count = int(batch["count"])
+        _, r_err, t_err, rmse, mse = eval_step(
+            context.params, context.batch_stats,
+            {k: jnp.asarray(batch[k]) for k in ("src", "tgt", "transform")},
+            prefix="val",
+        )
+        r_err, t_err = np.asarray(r_err), np.asarray(t_err)
+        rmse, mse = np.asarray(rmse), np.asarray(mse)
+        recall = (rmse < rmse_thresh).astype(np.float32)
+        vals = {"RotE": r_err, "transE": t_err, "MSE": mse, "RMSE": rmse,
+                "recall": recall}
+        for m, arr in vals.items():
+            val_meters[m].update(float(arr[:count].mean()), count)
+        for i in range(count):
+            rl = int(batch["rot_level"][i])
+            ml = int(batch["match_level"][i])
+            for m, arr in vals.items():
+                split_meters[rl][ml][m].update(float(arr[i]))
+
+    log, best_log = "", ""
+    for m, meter in val_meters.items():
+        curr_best_epoch, curr_best = best[m]
+        improved = (
+            meter.avg > curr_best if m == "recall" else meter.avg < curr_best
+        )
+        if improved:
+            best[m] = (epoch, meter.avg)
+            ckpt.save_model(
+                os.path.join(log_dir, f"best_{m}_network.pkl"),
+                context.variables,
+            )
+            logger.info("Best %s net saved!", m)
+        log += f"curr_{m}: {meter.avg:f}; "
+        best_log += f"best_{m}: {best[m][1]:f} [epoch {best[m][0]}]; "
+    logger.info(log)
+    logger.info(best_log)
+    for rl in range(len(split_meters)):
+        for ml in range(len(split_meters[0])):
+            cell = split_meters[rl][ml]
+            logger.info(
+                "[rot_level %d, match_level %d] %s", rl, ml,
+                "; ".join(f"curr_{m}: {v.avg:f}" for m, v in cell.items()),
+            )
+    return {m: meter.avg for m, meter in val_meters.items()}

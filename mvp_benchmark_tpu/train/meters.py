@@ -1,0 +1,20 @@
+"""Host-side metric accumulators (reference completion/train_utils.py:3-17)."""
+
+from __future__ import annotations
+
+
+class AverageValueMeter:
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0.0
+
+    def update(self, val, n: int = 1):
+        self.val = float(val)
+        self.sum += float(val) * n
+        self.count += n
+        self.avg = self.sum / self.count if self.count else 0.0
