@@ -85,7 +85,7 @@ def gmm_register(pi_s, mu_s, mu_t, sigma_t):
     sigma_inv = jnp.linalg.inv(sigma_t)                    # (B, J, 3, 3)
     ws = pi_s[:, :, None] * (mu_s - c_s)                   # (B, J, 3)
     Ms = jnp.einsum(
-        "bja,bjb,bjbc->bac", ws, (mu_t - c_t), sigma_inv, precision=_HI
+        "bja,bjk,bjkc->bac", ws, (mu_t - c_t), sigma_inv, precision=_HI
     )
     U, _, Vt = jnp.linalg.svd(Ms.astype(jnp.float32))
     V = jnp.swapaxes(Vt, -1, -2)

@@ -50,8 +50,9 @@ class DenseConv(nn.Module):
     def __call__(self, x):
         y = layers.get_graph_feature(x, k=self.k, minus_center=True)
         y = nn.relu(layers.TorchDense(self.growth_rate)(y))
+        k_eff = y.shape[2]  # kNN clamps k to the level's point count
         center = jnp.broadcast_to(
-            x[:, :, None, :], x.shape[:2] + (self.k, x.shape[-1])
+            x[:, :, None, :], x.shape[:2] + (k_eff, x.shape[-1])
         )
         y = jnp.concatenate([y, center], axis=-1)
         for i in range(self.dense_n - 1):
@@ -134,6 +135,7 @@ class ECGDecoder(nn.Module):
     num_coarse: int
     num_fine: int
     num_input: int
+    hierarchy: tuple = (1024, 256, 64)
 
     @nn.compact
     def __call__(self, global_feat, point_input):
@@ -147,7 +149,7 @@ class ECGDecoder(nn.Module):
 
         points = jnp.concatenate([coarse, point_input], axis=1)
         dense_feat = EFEncoder(
-            growth_rate=24, dense_n=3, k=16, hierarchy=(1024, 256, 64),
+            growth_rate=24, dense_n=3, k=16, hierarchy=self.hierarchy,
             output_size=256,
         )(points)
 
@@ -166,8 +168,16 @@ class ECGDecoder(nn.Module):
 
 
 def build(args) -> "Model":
+    num_points = int(args.num_points)
+    # Reference hierarchy (1024, 256, 64) assumes 3072 encoder points
+    # (1024 coarse + 2048 input); scale proportionally for other sizes.
+    scale = num_points / 2048.0
+    hierarchy = tuple(max(int(h * scale), 8) for h in (1024, 256, 64))
     return Model(
-        num_points=int(args.num_points),
+        num_points=num_points,
+        num_coarse=max(int(1024 * scale), 16),
+        num_input=num_points,
+        hierarchy=hierarchy,
         train_loss=str(args.loss or "cd"),
         eval_emd=bool(args.eval_emd),
     )
@@ -180,14 +190,17 @@ class Model(nn.Module):
     num_points: int = 2048
     num_coarse: int = 1024
     num_input: int = 2048
+    hierarchy: tuple = (1024, 256, 64)
     train_loss: str = "cd"
     eval_emd: bool = False
 
     @nn.compact
     def __call__(self, x, gt=None, prefix: str = "train", alpha=None):
+        if alpha is None:
+            alpha = 1.0
         feat = PCNEncoder()(x)
         out1, out2 = ECGDecoder(self.num_coarse, self.num_points,
-                                self.num_input)(feat, x)
+                                self.num_input, self.hierarchy)(feat, x)
 
         if prefix == "train":
             uniform1 = common.get_uniform_loss(out1)

@@ -1,0 +1,279 @@
+"""IDAM registration model (TPU-native rebuild).
+
+Reference: ``registration/models/idam.py`` — GNN edge-conv embedding on a
+fixed 12-NN graph (:115-149), significance scores, hard point elimination to
+N/6 (train: sampled by gt-match probability via numpy ``batch_choice``
+:19-25,238-243 — here ``jax.random.choice`` under key threading; eval: top-k
+:245-248), 3 iterations of distance-augmented similarity-matrix convolution +
+hybrid point elimination + weighted SVD (:267-342), auxiliary negative-entropy
+/ match / weight losses (:300-327).
+
+The FPFH variant (``use_fpfh``) relies on Open3D CPU features in the
+reference; it is not provided here (configs ship ``use_fpfh: False``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+from mvp_benchmark_tpu import metrics, ops
+from mvp_benchmark_tpu.models import layers
+
+_HI = lax.Precision.HIGHEST
+
+
+class ConvBlock(nn.Module):
+    """Conv(BN,ReLU)* -> plain Conv over the last axis (idam.py:73-112)."""
+
+    channels: tuple
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for ch in self.channels[:-1]:
+            x = layers.TorchDense(ch, use_bias=False)(x)
+            x = layers.BatchNorm()(x, train)
+            x = nn.relu(x)
+        return layers.TorchDense(self.channels[-1])(x)
+
+
+class Propagate(nn.Module):
+    """Edge conv on a fixed neighbour graph (idam.py:115-128)."""
+
+    emb_dims: int
+
+    @nn.compact
+    def __call__(self, x, idx, train: bool):
+        nn_feat = ops.grouping_operation(x, idx)          # (B, N, k, C)
+        h = nn_feat - x[:, :, None, :]
+        h = ConvBlock((self.emb_dims, self.emb_dims))(h, train)
+        h = jnp.max(h, axis=2)
+        return ConvBlock((self.emb_dims,))(h, train)
+
+
+class GNN(nn.Module):
+    """5-layer propagate stack on 12-NN (idam.py:131-149). (B,N,3)->(B,N,emb)."""
+
+    emb_dims: int = 64
+
+    @nn.compact
+    def __call__(self, pts, train: bool):
+        idx = ops.knn_indices(pts, 12)
+        x = pts
+        for dims in (64, 64, 64, 64, self.emb_dims):
+            x = Propagate(dims)(x, idx, train)
+        return x
+
+
+def weighted_svd(src, src_corr, weights):
+    """Weighted Kabsch head (idam.py:152-188), batched SVD.
+
+    src/src_corr: (B, M, 3), weights: (B, M) normalized. -> R (B,3,3), t (B,3).
+    """
+    src_centered = src - src.mean(axis=1, keepdims=True)
+    corr_centered = src_corr - src_corr.mean(axis=1, keepdims=True)
+    H = jnp.einsum(
+        "bmc,bmd->bcd", src_centered * weights[..., None], corr_centered,
+        preferred_element_type=jnp.float32, precision=_HI,
+    )
+    R = layers.symmetric_svd_rotation(H)
+    t = (
+        -jnp.einsum("bij,bj->bi", R,
+                    jnp.sum(weights[..., None] * src, axis=1), precision=_HI)
+        + jnp.sum(weights[..., None] * src_corr, axis=1)
+    )
+    return R, t
+
+
+def _batch_take(x, idx):
+    """x: (B, N, ...), idx: (B, M) -> (B, M, ...)."""
+    return jax.vmap(lambda a, i: a[i])(x, idx)
+
+
+def _median_lower(x, axis=-1, keepdims=True):
+    """torch.median semantics: lower of the two middle order statistics."""
+    n = x.shape[axis]
+    s = jnp.sort(x, axis=axis)
+    return jnp.take(s, jnp.array([(n - 1) // 2]), axis=axis) if keepdims else (
+        jnp.take(s, (n - 1) // 2, axis=axis)
+    )
+
+
+def build(args) -> "Model":
+    if args.use_fpfh:
+        raise NotImplementedError(
+            "use_fpfh requires Open3D CPU features (reference idam.py:37-56); "
+            "the GNN descriptor path (use_fpfh: False, the shipped config) is "
+            "supported."
+        )
+    return Model(
+        emb_dims=int(args.descriptor_size or 64),
+        num_iters=int(args.num_iters or 3),
+    )
+
+
+class Model(nn.Module):
+    """IDAM. forward(src, tgt, T_gt, prefix) like the reference Model
+    (idam.py:191-355)."""
+
+    emb_dims: int = 64
+    num_iters: int = 3
+
+    @nn.compact
+    def __call__(self, src, tgt, T_gt=None, prefix: str = "train"):
+        train = prefix == "train"
+        B, N, _ = src.shape
+        pts = src
+
+        if T_gt is not None:
+            R_gt = T_gt[:, :3, :3]
+            t_gt = T_gt[:, :3, 3]
+
+        emb_nn = GNN(self.emb_dims)
+        significance_fc = ConvBlock((64, 32, 1))
+
+        tgt_embedding = emb_nn(tgt, train)
+        src_embedding = emb_nn(src, train)
+        src_sig_score = significance_fc(src_embedding, train).squeeze(-1)
+        tgt_sig_score = significance_fc(tgt_embedding, train).squeeze(-1)
+
+        num_preserved = N // 6
+        if train:
+            # gt correspondences + probability-weighted point sampling
+            src_gt = (
+                jnp.einsum("bij,bnj->bni", R_gt, src, precision=_HI)
+                + t_gt[:, None, :]
+            )
+            d2 = ops.square_distance(src_gt, tgt)
+            min_dist = jnp.sqrt(jnp.min(d2, axis=-1))
+            min_idx = jnp.argmin(d2, axis=-1)                    # (B, N)
+            match_labels_full = (min_dist < 0.05).astype(jnp.float32)
+            indicator = match_labels_full + 1e-5
+            pos_probs = indicator / indicator.sum(-1, keepdims=True)
+            neg_ind = 1.0 + 2e-5 - indicator
+            neg_probs = neg_ind / neg_ind.sum(-1, keepdims=True)
+
+            rng = self.make_rng("sample")
+            n_pos = num_preserved // 2
+            n_neg = num_preserved - n_pos
+
+            def sample(key, p_pos, p_neg):
+                k1, k2 = jax.random.split(key)
+                pos = jax.random.choice(k1, N, (n_pos,), replace=False, p=p_pos)
+                neg = jax.random.choice(k2, N, (n_neg,), replace=False, p=p_neg)
+                return jnp.concatenate([pos, neg])
+
+            keys = jax.random.split(rng, B)
+            src_idx = jax.vmap(sample)(keys, pos_probs, neg_probs)
+            src_idx = lax.stop_gradient(src_idx)
+            tgt_idx = jnp.take_along_axis(min_idx, src_idx, axis=1)
+            match_labels = jnp.take_along_axis(
+                match_labels_full, src_idx, axis=1
+            )
+        else:
+            _, src_idx = lax.top_k(src_sig_score, num_preserved)
+            _, tgt_idx = lax.top_k(tgt_sig_score, num_preserved)
+
+        src = _batch_take(src, src_idx)
+        src_embedding = _batch_take(src_embedding, src_idx)
+        src_sig_score = jnp.take_along_axis(src_sig_score, src_idx, axis=1)
+        tgt = _batch_take(tgt, tgt_idx)
+        tgt_embedding = _batch_take(tgt_embedding, tgt_idx)
+        tgt_sig_score = jnp.take_along_axis(tgt_sig_score, tgt_idx, axis=1)
+
+        M = num_preserved
+        R = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+        t = jnp.zeros((B, 3))
+        loss = 0.0
+
+        for i in range(self.num_iters):
+            # (B, M, M, 2*emb) stacked features + distance augmentation
+            se = jnp.broadcast_to(
+                src_embedding[:, :, None, :], (B, M, M, self.emb_dims)
+            )
+            te = jnp.broadcast_to(
+                tgt_embedding[:, None, :, :], (B, M, M, self.emb_dims)
+            )
+            diff = src[:, :, None, :] - tgt[:, None, :, :]
+            dist = jnp.sqrt(jnp.sum(diff**2, axis=-1, keepdims=True))
+            diff = diff / (dist + 1e-8)
+            sim = jnp.concatenate([se, te, dist, diff], axis=-1)
+            sim = ConvBlock((32, 32))(sim, train)                # per-iter params
+
+            weights = jnp.max(sim, axis=2)                       # (B, M, 32)
+            weights = ConvBlock((32, 1))(weights, train).squeeze(-1)
+
+            sim = ConvBlock((32, 1))(sim, train).squeeze(-1)     # (B, M, M)
+            sim = jnp.clip(sim, -20.0, 20.0)
+
+            if train and i == 0:
+                src_neg_ent = jax.nn.softmax(sim, axis=-1)
+                src_neg_ent = jnp.sum(
+                    src_neg_ent * jnp.log(src_neg_ent), axis=-1
+                )
+                tgt_neg_ent = jax.nn.softmax(sim, axis=-2)
+                tgt_neg_ent = jnp.sum(
+                    tgt_neg_ent * jnp.log(tgt_neg_ent), axis=-2
+                )
+                loss = loss + jnp.mean(
+                    (src_sig_score - lax.stop_gradient(src_neg_ent)) ** 2
+                ) + jnp.mean(
+                    (tgt_sig_score - lax.stop_gradient(tgt_neg_ent)) ** 2
+                )
+
+            if train:
+                temp = jax.nn.softmax(sim, axis=-1)
+                diag = jnp.diagonal(temp, axis1=1, axis2=2)
+                match_loss = jnp.sum(-jnp.log(diag) * match_labels) / (
+                    jnp.sum(match_labels)
+                )
+                loss = loss + match_loss
+
+            corr_idx = jnp.argmax(sim, axis=-1)
+            src_corr = _batch_take(tgt, corr_idx)
+
+            if train:
+                weight_labels = (
+                    corr_idx == jnp.arange(M)[None, :]
+                ).astype(jnp.float32)
+                # binary_cross_entropy_with_logits, mean reduction
+                weight_loss = jnp.mean(
+                    jnp.maximum(weights, 0.0)
+                    - weights * weight_labels
+                    + jnp.log1p(jnp.exp(-jnp.abs(weights)))
+                )
+                loss = loss + weight_loss
+
+            weights = jax.nn.sigmoid(weights)
+            med = _median_lower(weights, axis=-1)
+            weights = weights * (weights >= med).astype(jnp.float32)
+            weights = weights / (weights.sum(-1, keepdims=True) + 1e-8)
+
+            rotation_ab, translation_ab = weighted_svd(src, src_corr, weights)
+            rotation_ab = lax.stop_gradient(rotation_ab)
+            translation_ab = lax.stop_gradient(translation_ab)
+            src = (
+                jnp.einsum("bij,bnj->bni", rotation_ab, src, precision=_HI)
+                + translation_ab[:, None, :]
+            )
+            R = jnp.matmul(rotation_ab, R, precision=_HI)
+            t = (
+                jnp.einsum("bij,bj->bi", rotation_ab, t, precision=_HI)
+                + translation_ab
+            )
+
+        T = metrics.rt_to_transformation(R, t[..., None])
+        if T_gt is None:
+            return T
+
+        mse = metrics.rotation_geodesic_error(R, R_gt) + metrics.translation_error(
+            t, t_gt
+        )
+        r_err = metrics.rotation_error(R, R_gt)
+        t_err = metrics.translation_error(t, t_gt)
+        rmse = metrics.rmse_loss(pts, T, T_gt)
+        return loss, r_err, t_err, rmse, mse

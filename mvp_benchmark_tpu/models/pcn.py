@@ -69,6 +69,7 @@ class PCNDecoder(nn.Module):
 def build(args) -> "Model":
     return Model(
         num_points=int(args.num_points),
+        num_coarse=int(args.num_coarse or 1024),
         train_loss=str(args.loss or "cd"),
         eval_emd=bool(args.eval_emd),
     )
@@ -85,6 +86,8 @@ class Model(nn.Module):
 
     @nn.compact
     def __call__(self, x, gt=None, prefix: str = "train", alpha=None):
+        if alpha is None:
+            alpha = 1.0
         scale = self.num_points // self.num_coarse
         feat = PCNEncoder()(x)
         out1, out2 = PCNDecoder(self.num_coarse, self.num_points, scale)(feat)

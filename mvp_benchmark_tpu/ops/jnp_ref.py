@@ -111,7 +111,7 @@ def knn_indices(points: jnp.ndarray, k: int) -> jnp.ndarray:
     distance matrix.
     """
     d = square_distance(points, points)
-    _, idx = lax.top_k(-d, k)
+    _, idx = lax.top_k(-d, min(k, points.shape[-2]))
     return idx.astype(jnp.int32)
 
 
@@ -130,7 +130,7 @@ def knn_points(
     topk values of ``-dist``). The distance output is differentiable.
     """
     d = square_distance(query, points)
-    neg_d, idx = lax.top_k(-d, k)
+    neg_d, idx = lax.top_k(-d, min(k, points.shape[-2]))
     return neg_d, idx.astype(jnp.int32)
 
 
@@ -157,11 +157,15 @@ def three_nn(
 
     Matches mm3d_pn2 ``three_nn`` (reference
     ``utils/mm3d_pn2/ops/interpolate/three_nn.py:8-45`` — the CUDA kernel
-    returns sqrt distances).
+    returns sqrt distances). Both outputs are non-differentiable exactly like
+    the CUDA op (its autograd Function registers no backward); this also
+    avoids inf gradients from sqrt at 0 when ``source`` is an FPS subset of
+    ``target`` (upsampling always hits exact-zero distances).
     """
     d = square_distance(target, source)
     neg_d, idx = lax.top_k(-d, 3)
-    return jnp.sqrt(jnp.maximum(-neg_d, 0.0)), idx.astype(jnp.int32)
+    dist = jnp.sqrt(jnp.maximum(-neg_d, 0.0))
+    return lax.stop_gradient(dist), idx.astype(jnp.int32)
 
 
 def three_nn_upsampling(

@@ -1,11 +1,220 @@
 """Fused Pallas TPU kernels for the hot geometry ops.
 
-Placeholder dispatch targets — replaced with real Pallas kernels further down
-this build (chamfer tile kernel, VMEM-resident FPS). Until then the golden
-jnp implementations run on TPU as well (XLA already fuses these reasonably).
+Design notes (see /opt/skills/guides/pallas_guide.md):
+
+- **Chamfer**: the jnp path materializes the (B, N, M) distance matrix in HBM
+  (16 MB per batch element at 2048^2) and reads it back for two min-reductions
+  — 3x HBM traffic on a matrix that never needs to exist. The kernel tiles
+  rows of ``a`` (TN x M distance tiles resident in VMEM), reduces row-mins
+  immediately, and accumulates column-mins across the sequential grid
+  dimension, so HBM traffic is just the points + the (N,) outputs. This is
+  the blockwise-attention idea applied to point clouds (SURVEY.md §5).
+  Distances use exact per-coordinate differences (VPU) so the CUDA parity bar
+  (dist MSE < 1e-8, reference utils/metrics/CD/unit_test.py) holds — an MXU
+  expansion path would round through bf16.
+
+- **FPS**: inherently sequential in the sample index (2048 greedy argmax
+  steps). The jnp fallback launches one tiny XLA loop iteration per step with
+  the (B, N) min-distance buffer bouncing through HBM. The kernel holds the
+  per-batch-element distance buffer and the (3, N) coordinates resident in
+  VMEM for the whole loop (grid = (B,)); each step is a handful of (1, N)
+  VPU ops.
+
+Outputs carry a singleton middle axis inside the kernels ((B, 1, N) blocks)
+to satisfy the TPU tiling rule that the last two block dims be divisible by
+(8, 128) or span the array. Both kernels run in interpreter mode off-TPU
+(parity-tested against the jnp golden references).
 """
 
-from mvp_benchmark_tpu.ops.jnp_ref import (  # noqa: F401
-    chamfer_distance,
-    furthest_point_sample,
-)
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mvp_benchmark_tpu.ops import jnp_ref
+
+
+def _interpret() -> bool:
+    try:
+        return jax.default_backend() not in ("tpu", "axon")
+    except Exception:
+        return True
+
+
+# ---------------------------------------------------------------------------
+# Chamfer
+# ---------------------------------------------------------------------------
+
+
+def _chamfer_kernel(a_ref, b_ref, d1_ref, i1_ref, d2_ref, i2_ref, *, tn):
+    i = pl.program_id(1)
+    m = b_ref.shape[1]
+
+    # Exact squared distances, one (TN, M) plane per coordinate.
+    d = jnp.zeros((tn, m), jnp.float32)
+    for c in range(3):
+        diff = a_ref[0, :, c][:, None] - b_ref[0, :, c][None, :]
+        d += diff * diff
+
+    # Row direction: nearest b for each a row of this tile.
+    d1_ref[0, 0, pl.ds(i * tn, tn)] = jnp.min(d, axis=1)
+    i1_ref[0, 0, pl.ds(i * tn, tn)] = jnp.argmin(d, axis=1).astype(jnp.int32)
+
+    # Column direction: accumulate min over row tiles (grid dim 1 is
+    # sequential on TPU, so the d2/i2 blocks stay resident across i).
+    cmin = jnp.min(d, axis=0)
+    cidx = (jnp.argmin(d, axis=0) + i * tn).astype(jnp.int32)
+
+    @pl.when(i == 0)
+    def _():
+        d2_ref[0, 0, :] = cmin
+        i2_ref[0, 0, :] = cidx
+
+    @pl.when(i > 0)
+    def _():
+        better = cmin < d2_ref[0, 0, :]
+        i2_ref[0, 0, :] = jnp.where(better, cidx, i2_ref[0, 0, :])
+        d2_ref[0, 0, :] = jnp.minimum(cmin, d2_ref[0, 0, :])
+
+
+def _chamfer_tile(n: int) -> int:
+    for tn in (256, 128, 64, 32, 16, 8):
+        if n % tn == 0:
+            return tn
+    return n
+
+
+def _chamfer_pallas(a: jnp.ndarray, b: jnp.ndarray):
+    B, N, _ = a.shape
+    M = b.shape[1]
+    TN = _chamfer_tile(N)
+    grid = (B, N // TN)
+
+    d1, i1, d2, i2 = pl.pallas_call(
+        functools.partial(_chamfer_kernel, tn=TN),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TN, 3), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, 3), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, N), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, N), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, M), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * N * M * 3,
+            bytes_accessed=B * (N + M) * 3 * 4 + B * (N + M) * 8,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(a.astype(jnp.float32), b.astype(jnp.float32))
+    return d1[:, 0, :], d2[:, 0, :], i1[:, 0, :], i2[:, 0, :]
+
+
+@jax.custom_vjp
+def chamfer_distance(
+    a: jnp.ndarray, b: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused bidirectional chamfer (semantics == jnp_ref.chamfer_distance)."""
+    return _chamfer_pallas(a, b)
+
+
+def _chamfer_fwd(a, b):
+    d1, d2, i1, i2 = _chamfer_pallas(a, b)
+    return (d1, d2, i1, i2), (a, b, i1, i2)
+
+
+def _chamfer_bwd(res, g):
+    """CUDA-equivalent backward (chamfer3D.cu:155-174): +-2 g (p - q) routed
+    through the argmin pairs, scatter-add on the opposite cloud."""
+    a, b, i1, i2 = res
+    g1, g2, _, _ = g
+    b_sel = jnp.take_along_axis(b, i1[..., None], axis=1)
+    a_sel = jnp.take_along_axis(a, i2[..., None], axis=1)
+    diff1 = 2.0 * g1[..., None] * (a - b_sel)        # (B, N, 3)
+    diff2 = 2.0 * g2[..., None] * (b - a_sel)        # (B, M, 3)
+
+    scatter = jax.vmap(lambda acc, idx, upd: acc.at[idx].add(upd))
+    da = diff1 + scatter(jnp.zeros_like(a), i2, -diff2)
+    db = diff2 + scatter(jnp.zeros_like(b), i1, -diff1)
+    return da, db
+
+
+chamfer_distance.defvjp(_chamfer_fwd, _chamfer_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Furthest point sampling
+# ---------------------------------------------------------------------------
+
+
+def _fps_kernel(xyz_ref, idx_ref, mind_ref, *, num_samples):
+    """Grid=(B,). xyz_ref: (1, 3, N) VMEM-resident; mind_ref: (1, N) scratch.
+
+    Scalar VMEM stores are not lowerable on TPU, so point extraction and
+    index writes are masked vector ops over the lane dimension.
+    """
+    n = xyz_ref.shape[2]
+    x = xyz_ref[0, 0:1, :]                                  # (1, N)
+    y = xyz_ref[0, 1:2, :]
+    z = xyz_ref[0, 2:3, :]
+    lane = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    out_lane = lax.broadcasted_iota(jnp.int32, (1, num_samples), 1)
+
+    mind_ref[0:1, :] = jnp.full((1, n), 1e10, jnp.float32)
+    idx_ref[0, 0:1, :] = jnp.zeros((1, num_samples), jnp.int32)
+
+    def body(j, last):
+        sel = lane == last
+        x0 = jnp.sum(jnp.where(sel, x, 0.0))
+        y0 = jnp.sum(jnp.where(sel, y, 0.0))
+        z0 = jnp.sum(jnp.where(sel, z, 0.0))
+        d = (x - x0) ** 2 + (y - y0) ** 2 + (z - z0) ** 2    # (1, N)
+        mind = jnp.minimum(mind_ref[0:1, :], d)
+        mind_ref[0:1, :] = mind
+        nxt = jnp.argmax(mind).astype(jnp.int32)             # flat == lane id
+        idx_ref[0, 0:1, :] = jnp.where(out_lane == j, nxt, idx_ref[0, 0:1, :])
+        return nxt
+
+    lax.fori_loop(1, num_samples, body, jnp.int32(0))
+
+
+def furthest_point_sample(xyz: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+    """VMEM-resident greedy FPS (semantics == jnp_ref.furthest_point_sample)."""
+    B, N, _ = xyz.shape
+    xyz_t = jnp.swapaxes(xyz, 1, 2).astype(jnp.float32)   # (B, 3, N)
+
+    out = pl.pallas_call(
+        functools.partial(_fps_kernel, num_samples=num_samples),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 3, N), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, num_samples), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, num_samples), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, N), jnp.float32)],
+        interpret=_interpret(),
+    )(xyz_t)
+    return lax.stop_gradient(out[:, 0, :])

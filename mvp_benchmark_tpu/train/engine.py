@@ -102,7 +102,7 @@ def make_train_step(model, tx, kind: str):
 
         def loss_fn(p):
             variables = {"params": p}
-            mutable = []
+            mutable = False
             if batch_stats:
                 variables["batch_stats"] = batch_stats
                 mutable = ["batch_stats"]

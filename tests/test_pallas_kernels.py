@@ -1,0 +1,73 @@
+"""Pallas kernels (interpreter mode on CPU) vs jnp golden references."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvp_benchmark_tpu.ops import jnp_ref, pallas_kernels
+
+
+def clouds(rng, B=2, N=128, M=96):
+    a = rng.random((B, N, 3), dtype=np.float64).astype(np.float32)
+    b = rng.random((B, M, 3), dtype=np.float64).astype(np.float32)
+    return a, b
+
+
+def test_chamfer_matches_reference(rng):
+    a, b = clouds(rng)
+    d1, d2, i1, i2 = pallas_kernels.chamfer_distance(a, b)
+    g1, g2, j1, j2 = jnp_ref.chamfer_distance(a, b)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(g1),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(g2),
+                               rtol=1e-5, atol=1e-7)
+    # Indices must reproduce the min distances (ties may differ from the
+    # expansion-based reference argmin).
+    for k in range(a.shape[0]):
+        sel = b[k][np.asarray(i1[k])]
+        np.testing.assert_allclose(
+            np.sum((a[k] - sel) ** 2, -1), np.asarray(g1[k]),
+            rtol=1e-5, atol=1e-7,
+        )
+        sel = a[k][np.asarray(i2[k])]
+        np.testing.assert_allclose(
+            np.sum((b[k] - sel) ** 2, -1), np.asarray(g2[k]),
+            rtol=1e-5, atol=1e-7,
+        )
+
+
+def test_chamfer_gradient_matches_reference(rng):
+    a, b = clouds(rng, N=32, M=48)
+
+    def loss_p(a_, b_):
+        d1, d2, _, _ = pallas_kernels.chamfer_distance(a_, b_)
+        return jnp.sum(d1 * 0.3) + jnp.sum(d2 * 0.7)
+
+    def loss_r(a_, b_):
+        d1, d2, _, _ = jnp_ref.chamfer_distance(a_, b_)
+        return jnp.sum(d1 * 0.3) + jnp.sum(d2 * 0.7)
+
+    ga_p, gb_p = jax.grad(loss_p, argnums=(0, 1))(a, b)
+    ga_r, gb_r = jax.grad(loss_r, argnums=(0, 1))(a, b)
+    np.testing.assert_allclose(np.asarray(ga_p), np.asarray(ga_r),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gb_p), np.asarray(gb_r),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_chamfer_uneven_tile_sizes(rng):
+    # N not a multiple of 128 exercises the small-tile fallback.
+    a, b = clouds(rng, N=96, M=50)
+    d1, d2, i1, i2 = pallas_kernels.chamfer_distance(a, b)
+    g1, g2, _, _ = jnp_ref.chamfer_distance(a, b)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(g1),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(g2),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_fps_matches_reference(rng):
+    a, _ = clouds(rng, B=3, N=160)
+    idx_p = pallas_kernels.furthest_point_sample(a, 24)
+    idx_r = jnp_ref.furthest_point_sample(a, 24)
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_r))
