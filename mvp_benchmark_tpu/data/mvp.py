@@ -149,6 +149,7 @@ class MVPRegistrationDataset(_BatchedDataset):
         num_points: int = 2048,
         synthetic_size: Optional[int] = None,
         seed: int = 0,
+        use_native: bool = True,
     ):
         if prefix not in ("train", "val", "test"):
             raise ValueError("prefix should be [train/val/test]")
@@ -156,6 +157,7 @@ class MVPRegistrationDataset(_BatchedDataset):
         self.max_angle = max_angle / 180.0 * np.pi
         self.max_trans = max_trans
         self.rng = np.random.default_rng(seed)
+        self.use_native = use_native
         fname = {
             "train": "MVP_Train_RG.h5",
             "val": "MVP_Test_RG.h5",
@@ -216,27 +218,45 @@ class MVPRegistrationDataset(_BatchedDataset):
     def __len__(self) -> int:
         return self.src.shape[0]
 
+    def _augment_batch(self, src: np.ndarray, tgt: np.ndarray):
+        """Train-time SE(3) augmentation; C++ core when available
+        (mvp_benchmark_tpu.native), numpy fallback (data.augment)."""
+        if self.use_native:
+            from mvp_benchmark_tpu import native
+
+            res = native.se3_augment_batch(
+                src, tgt, self.max_angle, self.max_trans,
+                seed=int(self.rng.integers(2**62)),
+            )
+            if res is not None:
+                s, t, T = res
+                return {"src": s, "tgt": t, "transform": T}
+        srcs, tgts, trans = [], [], []
+        for k in range(len(src)):
+            s, t, T = augment.augment_pair(
+                src[k], tgt[k], self.max_angle, self.max_trans, self.rng
+            )
+            srcs.append(s)
+            tgts.append(t)
+            trans.append(T)
+        return {
+            "src": np.asarray(srcs),
+            "tgt": np.asarray(tgts),
+            "transform": np.asarray(trans),
+        }
+
     def _get_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
         src = self.src[idx]
         tgt = self.tgt[idx]
         if self.prefix == "test":
             return {"src": src, "tgt": tgt}
         if self.prefix == "train":
-            srcs, tgts, trans = [], [], []
-            for k in range(len(idx)):
-                s, t, T = augment.augment_pair(
-                    src[k], tgt[k], self.max_angle, self.max_trans, self.rng
-                )
-                srcs.append(s)
-                tgts.append(t)
-                trans.append(T)
-            return {
-                "src": np.asarray(srcs),
-                "tgt": np.asarray(tgts),
-                "transform": np.asarray(trans),
-                "match_level": self.match_level[idx],
-                "rot_level": np.full(len(idx), self.rot_level, np.int32),
-            }
+            out = self._augment_batch(src, tgt)
+            out.update(
+                match_level=self.match_level[idx],
+                rot_level=np.full(len(idx), self.rot_level, np.int32),
+            )
+            return out
         return {
             "src": src,
             "tgt": tgt,

@@ -135,9 +135,10 @@ class PointNet(nn.Module):
             feats, train
         )
         f_glob = jnp.max(f_loc, axis=1, keepdims=True)
-        f_glob = jnp.broadcast_to(f_glob, f_loc.shape)
-        h = jnp.concatenate([f_loc, f_glob], axis=-1)
-        h = layers.MLP((512, 256, 128), bn=True, use_bias=False)(h, train)
+        # virtual concat [f_loc, tile(f_glob)] into the first decoder layer
+        h = layers.DenseCat(512, use_bias=False)(f_loc, f_glob)
+        h = nn.relu(layers.BatchNorm()(h, train))
+        h = layers.MLP((256, 128), bn=True, use_bias=False)(h, train)
         return layers.TorchDense(self.num_groups)(h)
 
 

@@ -106,12 +106,9 @@ class EFEncoder(nn.Module):
         gf = jnp.max(gf, axis=1)
         gf = nn.relu(layers.TorchDense(512)(gf))
         gf = nn.relu(layers.TorchDense(1024)(gf))
-        gf = jnp.broadcast_to(
-            gf[:, None, :], (x4.shape[0], self.hierarchy[2], 1024)
-        )
 
-        x4 = jnp.concatenate([gf, x4], axis=-1)
-        x4 = nn.relu(layers.TorchDense(1024)(x4))
+        # virtual concat [tile(gf), x4] (layers.DenseCat)
+        x4 = nn.relu(layers.DenseCat(1024)(gf[:, None, :], x4))
         idx, w = ops.three_nn_upsampling(pc3, pc4)
         x4 = ops.three_interpolate(x4, idx, w)
 

@@ -39,10 +39,61 @@ class TorchDense(nn.Module):
         kernel = self.param(
             "kernel", torch_linear_init, (x.shape[-1], self.features)
         )
-        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
+        # Flatten leading dims: one large (B*N..., C) @ (C, D) MXU matmul.
+        # Besides being the fastest layout, this sidesteps a libtpu fusion
+        # crash (SpatialMajorConvolution CHECK failure) that batched 3D dots
+        # can trigger when fused with concat/broadcast producers.
+        lead = x.shape[:-1]
+        y = jnp.dot(
+            x.reshape(-1, x.shape[-1]), kernel,
+            preferred_element_type=jnp.float32,
+        ).reshape(lead + (self.features,))
         if self.use_bias:
             fan_in = x.shape[-1]
             bound = 1.0 / math.sqrt(fan_in)
+            bias = self.param(
+                "bias",
+                lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+                (self.features,),
+            )
+            y = y + bias
+        return y
+
+
+class DenseCat(nn.Module):
+    """Dense over a virtual concat: ``cat(xs, -1) @ W == sum_i xs[i] @ W_i``.
+
+    Mathematically identical to ``TorchDense(features)(concat(xs, -1))`` with
+    the same single kernel (sliced per input), but never materializes the
+    concatenation. Two wins on TPU: broadcast global features ((B, 1, C)
+    tiles) stay tiny instead of being replicated N-fold before the matmul,
+    and the reduce->broadcast->concat->dot fusion that crashes libtpu's
+    SpatialMajorConvolution pass (see layers.TorchDense note) never forms.
+    Inputs may have broadcastable leading shapes.
+    """
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, *xs):
+        cs = [x.shape[-1] for x in xs]
+        total = sum(cs)
+        kernel = self.param(
+            "kernel", torch_linear_init, (total, self.features)
+        )
+        y = None
+        off = 0
+        for x, c in zip(xs, cs):
+            w = kernel[off:off + c]
+            off += c
+            lead = x.shape[:-1]
+            part = jnp.dot(
+                x.reshape(-1, c), w, preferred_element_type=jnp.float32
+            ).reshape(lead + (self.features,))
+            y = part if y is None else y + part
+        if self.use_bias:
+            bound = 1.0 / math.sqrt(total)
             bias = self.param(
                 "bias",
                 lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),

@@ -27,10 +27,8 @@ class PCNEncoder(nn.Module):
         h = nn.relu(layers.TorchDense(128)(x))
         h = layers.TorchDense(256)(h)
         g = jnp.max(h, axis=1, keepdims=True)                    # (B,1,256)
-        h = jnp.concatenate(
-            [h, jnp.broadcast_to(g, h.shape[:2] + (256,))], axis=-1
-        )
-        h = nn.relu(layers.TorchDense(512)(h))
+        # concat([h, tile(g)]) @ W done as sliced matmuls (layers.DenseCat)
+        h = nn.relu(layers.DenseCat(512)(h, g))
         h = layers.TorchDense(self.output_size)(h)
         return jnp.max(h, axis=1)                                # (B, out)
 
@@ -55,12 +53,11 @@ class PCNDecoder(nn.Module):
         grid_feat = jnp.broadcast_to(grid_feat[None], (B, self.num_fine, 2))
 
         point_feat = jnp.repeat(coarse, self.scale, axis=1)       # (B, fine, 3)
-        global_feat = jnp.broadcast_to(
-            feat[:, None, :], (B, self.num_fine, feat.shape[-1])
+        # virtual concat [grid, point, tile(global)]: the 1024-dim global
+        # feature is matmul'd once per batch element, not per point
+        h = nn.relu(
+            layers.DenseCat(512)(grid_feat, point_feat, feat[:, None, :])
         )
-        cat = jnp.concatenate([grid_feat, point_feat, global_feat], axis=-1)
-
-        h = nn.relu(layers.TorchDense(512)(cat))
         h = nn.relu(layers.TorchDense(512)(h))
         fine = layers.TorchDense(3)(h) + point_feat
         return coarse, fine

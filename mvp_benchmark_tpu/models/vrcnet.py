@@ -183,10 +183,8 @@ class SASKNResEncoder(nn.Module):
         x = drop(nn.relu(layers.TorchDense(512)(x)))
         x = drop(nn.relu(layers.TorchDense(1024)(x)))
 
-        x = jnp.broadcast_to(x[:, None, :], (B, self.pts_num[3], 1024))
-        x = nn.relu(layers.TorchDense(c1 * 8)(
-            jnp.concatenate([x, x4], axis=-1)
-        ))
+        # virtual concat [tile(global), x4] (layers.DenseCat)
+        x = nn.relu(layers.DenseCat(c1 * 8)(x[:, None, :], x4))
         idx, w = ops.three_nn_upsampling(pt3, pt4)
         x = ops.three_interpolate(x, idx, w)
         x = nn.relu(layers.TorchDense(c1 * 4)(
@@ -220,9 +218,7 @@ class Folding(nn.Module):
         B, N, C = point_feat.shape
         sr = self.step_ratio
         pf = jnp.repeat(point_feat, sr, axis=1)            # (B, N*sr, C)
-        gf = jnp.broadcast_to(
-            global_feat[:, None, :], (B, N * sr, global_feat.shape[-1])
-        )
+        gf = global_feat[:, None, :]                       # broadcast lazily
         # grid: linspace over [-0.2, 0.2]; tiled per input point
         # (reference builds it via gen_grid_up-style factorization).
         sqrted = int(math.sqrt(sr)) + 1
@@ -237,8 +233,8 @@ class Folding(nn.Module):
         grid = jnp.stack([mx, my], axis=-1).reshape(-1, 2)  # (sr, 2)
         grid_feat = jnp.tile(grid, (N, 1))                  # (N*sr, 2)
         grid_feat = jnp.broadcast_to(grid_feat[None], (B, N * sr, 2))
-        features = jnp.concatenate([gf, pf, grid_feat], axis=-1)
-        return nn.relu(layers.TorchDense(self.output_size)(features))
+        # virtual concat [tile(global), point, grid] (layers.DenseCat)
+        return nn.relu(layers.DenseCat(self.output_size)(gf, pf, grid_feat))
 
 
 class MSAPSKNDecoder(nn.Module):
