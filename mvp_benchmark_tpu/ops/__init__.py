@@ -24,8 +24,8 @@ from mvp_benchmark_tpu.ops.jnp_ref import (
     furthest_point_sample_with_dist,
     gather_points,
     grouping_operation,
-    knn_indices,
-    knn_points,
+    knn_indices as knn_indices_ref,
+    knn_points as knn_points_ref,
     knn_query,
     square_distance,
     three_interpolate,
@@ -36,6 +36,8 @@ from mvp_benchmark_tpu.ops.jnp_ref import (
 from mvp_benchmark_tpu.ops.dispatch import (
     chamfer_distance,
     furthest_point_sample,
+    knn_indices,
+    knn_points,
 )
 
 from mvp_benchmark_tpu.ops.grouping import (

@@ -39,3 +39,21 @@ def furthest_point_sample(xyz, num_samples: int):
 
         return pallas_kernels.furthest_point_sample(xyz, num_samples)
     return jnp_ref.furthest_point_sample(xyz, num_samples)
+
+
+def knn_points(query, points, k: int):
+    """kNN of query in points (see jnp_ref.knn_points)."""
+    if _on_tpu():
+        from mvp_benchmark_tpu.ops import pallas_kernels
+
+        return pallas_kernels.knn_points(query, points, k)
+    return jnp_ref.knn_points(query, points, k)
+
+
+def knn_indices(points, k: int):
+    """Self-kNN (see jnp_ref.knn_indices)."""
+    if _on_tpu():
+        from mvp_benchmark_tpu.ops import pallas_kernels
+
+        return pallas_kernels.knn_indices(points, k)
+    return jnp_ref.knn_indices(points, k)

@@ -14,7 +14,7 @@ from typing import List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 
 from mvp_benchmark_tpu.ops import jnp_ref
-from mvp_benchmark_tpu.ops.dispatch import furthest_point_sample
+from mvp_benchmark_tpu.ops.dispatch import furthest_point_sample, knn_points
 
 
 @dataclasses.dataclass
@@ -42,7 +42,7 @@ class QueryAndGroup:
 
     def __call__(self, points_xyz, center_xyz, features=None):
         if self.max_radius is None:
-            _, idx = jnp_ref.knn_points(center_xyz, points_xyz, self.sample_num)
+            _, idx = knn_points(center_xyz, points_xyz, self.sample_num)
         else:
             idx = jnp_ref.ball_query(
                 self.min_radius, self.max_radius, self.sample_num,

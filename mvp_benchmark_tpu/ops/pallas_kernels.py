@@ -202,6 +202,9 @@ def _fps_kernel(xyz_ref, idx_ref, mind_ref, *, num_samples):
 def furthest_point_sample(xyz: jnp.ndarray, num_samples: int) -> jnp.ndarray:
     """VMEM-resident greedy FPS (semantics == jnp_ref.furthest_point_sample)."""
     B, N, _ = xyz.shape
+    # Index selection is non-differentiable; cut tangents before the kernel
+    # (pallas_call has no JVP rule).
+    xyz = lax.stop_gradient(xyz)
     xyz_t = jnp.swapaxes(xyz, 1, 2).astype(jnp.float32)   # (B, 3, N)
 
     out = pl.pallas_call(
@@ -218,3 +221,108 @@ def furthest_point_sample(xyz: jnp.ndarray, num_samples: int) -> jnp.ndarray:
         interpret=_interpret(),
     )(xyz_t)
     return lax.stop_gradient(out[:, 0, :])
+
+
+# ---------------------------------------------------------------------------
+# kNN
+# ---------------------------------------------------------------------------
+
+
+def _knn_kernel(q_ref, p_ref, idx_ref, dist_ref, *, k):
+    """Grid=(B, M/TM). One (TM, N) exact distance tile in VMEM; k successive
+    masked min/argmin passes emit neighbours in ascending-distance order
+    (ties -> lowest index, matching lax.top_k on the negated matrix).
+    Outputs are (1, k, TM) so every store is a full lane row.
+    """
+    tm = q_ref.shape[1]
+    n = p_ref.shape[1]
+
+    d = jnp.zeros((tm, n), jnp.float32)
+    for c in range(3):
+        diff = q_ref[0, :, c][:, None] - p_ref[0, :, c][None, :]
+        d += diff * diff
+
+    col = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
+    for j in range(k):
+        arg = jnp.argmin(d, axis=1).astype(jnp.int32)        # (TM,)
+        cur = jnp.min(d, axis=1)
+        idx_ref[0, j, :] = arg
+        dist_ref[0, j, :] = cur
+        d = jnp.where(col == arg[:, None], jnp.float32(jnp.inf), d)
+
+
+def _knn_tile(m: int) -> int:
+    for tm in (256, 128, 64, 32, 16, 8):
+        if m % tm == 0:
+            return tm
+    return m
+
+
+def knn_pallas(
+    query: jnp.ndarray, points: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused kNN: (B, M, 3) queries in (B, N, 3) points -> (sqdist, idx),
+    both (B, M, k), nearest first. The (B, M, N) distance matrix never leaves
+    VMEM (the jnp path materializes it in HBM and runs lax.top_k over it).
+    """
+    B, M, _ = query.shape
+    N = points.shape[1]
+    k = min(k, N)
+    TM = _knn_tile(M)
+
+    idx, dist = pl.pallas_call(
+        functools.partial(_knn_kernel, k=k),
+        grid=(B, M // TM),
+        in_specs=[
+            pl.BlockSpec((1, TM, 3), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 3), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, k, TM), lambda bi, i: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, TM), lambda bi, i: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, k, M), jnp.int32),
+            jax.ShapeDtypeStruct((B, k, M), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * M * N * 3 + B * M * N * k,
+            bytes_accessed=B * (M + N) * 12 + B * M * k * 8,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(query.astype(jnp.float32), points.astype(jnp.float32))
+    return (
+        jnp.swapaxes(dist, 1, 2),
+        lax.stop_gradient(jnp.swapaxes(idx, 1, 2)),
+    )
+
+
+def knn_points(
+    query: jnp.ndarray, points: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in for jnp_ref.knn_points (negative squared dists, nearest first).
+
+    The distance output stays differentiable like the reference's dense-torch
+    computation: distances are recomputed from the gathered neighbours (the
+    gradient flows through the selected pairs exactly as a topk-of-matrix
+    backward would).
+    """
+    # The kernel has no VJP; neighbour selection is non-differentiable anyway.
+    _, idx = knn_pallas(
+        lax.stop_gradient(query), lax.stop_gradient(points), k
+    )
+    neigh = jnp_ref.grouping_operation(points, idx)          # (B, M, k, 3)
+    d = jnp.sum((query[:, :, None, :] - neigh) ** 2, axis=-1)
+    return -d, idx
+
+
+def knn_indices(points: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Drop-in for jnp_ref.knn_indices (self included, nearest first)."""
+    pts = lax.stop_gradient(points)
+    _, idx = knn_pallas(pts, pts, min(k, points.shape[1]))
+    return idx

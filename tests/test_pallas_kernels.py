@@ -71,3 +71,37 @@ def test_fps_matches_reference(rng):
     idx_p = pallas_kernels.furthest_point_sample(a, 24)
     idx_r = jnp_ref.furthest_point_sample(a, 24)
     np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_r))
+
+
+def test_knn_pallas_matches_reference(rng):
+    from mvp_benchmark_tpu.ops import pallas_kernels as pk
+
+    q = rng.random((2, 64, 3), dtype=np.float64).astype(np.float32)
+    p = rng.random((2, 96, 3), dtype=np.float64).astype(np.float32)
+    negd, idx = pk.knn_points(q, p, 8)
+    gold_negd, gold_idx = jnp_ref.knn_points(q, p, 8)
+    np.testing.assert_allclose(np.asarray(negd), np.asarray(gold_negd),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(gold_idx))
+
+
+def test_knn_pallas_self_indices(rng):
+    from mvp_benchmark_tpu.ops import pallas_kernels as pk
+
+    pts = rng.random((2, 40, 3), dtype=np.float64).astype(np.float32)
+    idx = pk.knn_indices(pts, 4)
+    ref = jnp_ref.knn_indices(pts, 4)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref))
+
+
+def test_knn_pallas_dist_gradient(rng):
+    """knn_points dist output must stay differentiable (uniform loss uses it)."""
+    from mvp_benchmark_tpu.ops import pallas_kernels as pk
+
+    q = rng.random((1, 16, 3), dtype=np.float64).astype(np.float32)
+    p = rng.random((1, 24, 3), dtype=np.float64).astype(np.float32)
+
+    g_p = jax.grad(lambda a, b: jnp.sum(pk.knn_points(a, b, 3)[0]))(q, p)
+    g_r = jax.grad(lambda a, b: jnp.sum(jnp_ref.knn_points(a, b, 3)[0]))(q, p)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r),
+                               rtol=1e-4, atol=1e-6)
