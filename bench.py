@@ -66,13 +66,15 @@ def run(batch_size):
     for _ in range(WARMUP):
         rng, r = jax.random.split(rng)
         params, bs, opt, aux = step(params, bs, opt, dict(batch), alpha, r)
-    jax.block_until_ready(aux["total_loss"])
+        float(aux["total_loss"])  # force full per-step sync
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
         rng, r = jax.random.split(rng)
         params, bs, opt, aux = step(params, bs, opt, dict(batch), alpha, r)
-    jax.block_until_ready(aux["total_loss"])
+        # Per-step host sync: block_until_ready on the final value alone
+        # under-reports on the remote-tunnel backend.
+        float(aux["total_loss"])
     dt = time.perf_counter() - t0
     steps_per_sec = STEPS / dt
     return steps_per_sec

@@ -18,3 +18,28 @@ as an idiomatic JAX/XLA/Pallas stack:
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (first compiles on the TPU tunnel in
+    this environment run minutes; reruns should not pay twice). Opt out with
+    MVP_TPU_NO_COMP_CACHE=1."""
+    import os
+
+    if os.environ.get("MVP_TPU_NO_COMP_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "jax_comp_cache"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is best-effort; never block imports
+        pass
+
+
+_enable_compilation_cache()

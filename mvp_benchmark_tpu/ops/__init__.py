@@ -29,8 +29,8 @@ from mvp_benchmark_tpu.ops.jnp_ref import (
     knn_query,
     square_distance,
     three_interpolate,
-    three_nn,
-    three_nn_upsampling,
+    three_nn as three_nn_ref,
+    three_nn_upsampling as three_nn_upsampling_ref,
 )
 
 from mvp_benchmark_tpu.ops.dispatch import (
@@ -38,6 +38,8 @@ from mvp_benchmark_tpu.ops.dispatch import (
     furthest_point_sample,
     knn_indices,
     knn_points,
+    three_nn,
+    three_nn_upsampling,
 )
 
 from mvp_benchmark_tpu.ops.grouping import (

@@ -169,34 +169,40 @@ chamfer_distance.defvjp(_chamfer_fwd, _chamfer_bwd)
 
 
 def _fps_kernel(xyz_ref, idx_ref, mind_ref, *, num_samples):
-    """Grid=(B,). xyz_ref: (1, 3, N) VMEM-resident; mind_ref: (1, N) scratch.
+    """No grid: the WHOLE batch advances one greedy step per loop iteration
+    (TPU grid dimensions execute sequentially, so a per-batch-element grid
+    would serialize B x num_samples argmax steps — batching them into (B, N)
+    vector ops is ~B times faster). xyz_ref: (B, 3, N); everything stays
+    VMEM-resident across all iterations.
 
     Scalar VMEM stores are not lowerable on TPU, so point extraction and
     index writes are masked vector ops over the lane dimension.
     """
+    B = xyz_ref.shape[0]
     n = xyz_ref.shape[2]
-    x = xyz_ref[0, 0:1, :]                                  # (1, N)
-    y = xyz_ref[0, 1:2, :]
-    z = xyz_ref[0, 2:3, :]
-    lane = lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    out_lane = lax.broadcasted_iota(jnp.int32, (1, num_samples), 1)
+    lane = lax.broadcasted_iota(jnp.int32, (B, n), 1)
+    out_lane = lax.broadcasted_iota(jnp.int32, (B, num_samples), 1)
 
-    mind_ref[0:1, :] = jnp.full((1, n), 1e10, jnp.float32)
-    idx_ref[0, 0:1, :] = jnp.zeros((1, num_samples), jnp.int32)
+    mind_ref[:, :] = jnp.full((B, n), 1e10, jnp.float32)
+    idx_ref[:, :] = jnp.zeros((B, num_samples), jnp.int32)
+
+    x = xyz_ref[:, 0, :]                                     # (B, N)
+    y = xyz_ref[:, 1, :]
+    z = xyz_ref[:, 2, :]
 
     def body(j, last):
-        sel = lane == last
-        x0 = jnp.sum(jnp.where(sel, x, 0.0))
-        y0 = jnp.sum(jnp.where(sel, y, 0.0))
-        z0 = jnp.sum(jnp.where(sel, z, 0.0))
-        d = (x - x0) ** 2 + (y - y0) ** 2 + (z - z0) ** 2    # (1, N)
-        mind = jnp.minimum(mind_ref[0:1, :], d)
-        mind_ref[0:1, :] = mind
-        nxt = jnp.argmax(mind).astype(jnp.int32)             # flat == lane id
-        idx_ref[0, 0:1, :] = jnp.where(out_lane == j, nxt, idx_ref[0, 0:1, :])
+        sel = lane == last[:, None]                          # (B, N)
+        x0 = jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
+        y0 = jnp.sum(jnp.where(sel, y, 0.0), axis=1, keepdims=True)
+        z0 = jnp.sum(jnp.where(sel, z, 0.0), axis=1, keepdims=True)
+        d = (x - x0) ** 2 + (y - y0) ** 2 + (z - z0) ** 2    # (B, N)
+        mind = jnp.minimum(mind_ref[:, :], d)
+        mind_ref[:, :] = mind
+        nxt = jnp.argmax(mind, axis=1).astype(jnp.int32)     # (B,)
+        idx_ref[:, :] = jnp.where(out_lane == j, nxt[:, None], idx_ref[:, :])
         return nxt
 
-    lax.fori_loop(1, num_samples, body, jnp.int32(0))
+    lax.fori_loop(1, num_samples, body, jnp.zeros((B,), jnp.int32))
 
 
 def furthest_point_sample(xyz: jnp.ndarray, num_samples: int) -> jnp.ndarray:
@@ -209,18 +215,13 @@ def furthest_point_sample(xyz: jnp.ndarray, num_samples: int) -> jnp.ndarray:
 
     out = pl.pallas_call(
         functools.partial(_fps_kernel, num_samples=num_samples),
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, 3, N), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, num_samples), lambda bi: (bi, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1, num_samples), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((1, N), jnp.float32)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, num_samples), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((B, N), jnp.float32)],
         interpret=_interpret(),
     )(xyz_t)
-    return lax.stop_gradient(out[:, 0, :])
+    return lax.stop_gradient(out)
 
 
 # ---------------------------------------------------------------------------

@@ -42,6 +42,33 @@ from mvp_benchmark_tpu.train.meters import AverageValueMeter
 logger = logging.getLogger(__name__)
 
 
+class NanGuard:
+    """Failure detection for the train loop (the reference has none —
+    SURVEY.md §5): logs non-finite losses and aborts after `limit`
+    consecutive occurrences with an actionable error instead of silently
+    training on garbage."""
+
+    def __init__(self, limit: int = 5):
+        self.limit = limit
+        self.consecutive = 0
+        self.total = 0
+
+    def check(self, loss: float, where: str) -> None:
+        if math.isfinite(loss):
+            self.consecutive = 0
+            return
+        self.consecutive += 1
+        self.total += 1
+        logger.warning("non-finite loss (%s) at %s [%d consecutive]",
+                       loss, where, self.consecutive)
+        if self.consecutive >= self.limit:
+            raise FloatingPointError(
+                f"{self.consecutive} consecutive non-finite losses at {where}"
+                " — check LR / input normalization (EMD expects coords in"
+                " [0,1]) / distribution-loss stability."
+            )
+
+
 # ---------------------------------------------------------------------------
 # State
 # ---------------------------------------------------------------------------
@@ -219,6 +246,7 @@ def train_completion(cfg: Config, log_dir: str, data_dir: str = "./data",
     train_step = make_train_step(model, context.tx, "completion")
     eval_step = make_eval_step(model, "completion")
     rng = jax.random.PRNGKey(int(cfg.manual_seed or 1))
+    guard = NanGuard()
 
     history = {"train_loss": [], "val": []}
     for epoch in range(int(cfg.start_epoch or 0), int(cfg.nepoch)):
@@ -240,6 +268,7 @@ def train_completion(cfg: Config, log_dir: str, data_dir: str = "./data",
                 )
             )
             loss = float(aux["total_loss"])
+            guard.check(loss, f"completion epoch {epoch} step {i}")
             train_meter.update(loss)
             if i % int(cfg.step_interval_to_print or 100) == 0:
                 logger.info(
@@ -349,6 +378,7 @@ def train_registration(cfg: Config, log_dir: str, data_dir: str = "./data",
     train_step = make_train_step(model, context.tx, "registration")
     eval_step = make_eval_step(model, "registration")
     rng = jax.random.PRNGKey(int(cfg.manual_seed or 1))
+    guard = NanGuard()
     lr = float(cfg.lr)
     plateau = optim_util.PlateauScheduler(
         lr, float(cfg.lr_decay_rate or 0.5), float(cfg.lr_clip or 0.0)
@@ -371,6 +401,8 @@ def train_registration(cfg: Config, log_dir: str, data_dir: str = "./data",
                     jnp.asarray(1.0), step_rng,
                 )
             )
+            guard.check(float(aux["total_loss"]),
+                        f"registration epoch {epoch} step {i}")
             if i % int(cfg.step_interval_to_print or 100) == 0:
                 logger.info(
                     "train [%d: %d] total_loss: %.4f rot: %.4f trans: %.4f "
