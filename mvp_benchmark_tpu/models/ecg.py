@@ -48,8 +48,15 @@ class DenseConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = layers.get_graph_feature(x, k=self.k, minus_center=True)
-        y = nn.relu(layers.TorchDense(self.growth_rate)(y))
+        from mvp_benchmark_tpu import ops
+
+        # edge features + 1x1 conv as a project-then-gather DenseEdge
+        # (identical math/params to Dense(get_graph_feature(x)), far less
+        # gather traffic)
+        idx = ops.knn_indices(x, self.k)
+        y = nn.relu(
+            layers.DenseEdge(self.growth_rate, mode="center_minus")(x, idx)
+        )
         k_eff = y.shape[2]  # kNN clamps k to the level's point count
         center = jnp.broadcast_to(
             x[:, :, None, :], x.shape[:2] + (k_eff, x.shape[-1])

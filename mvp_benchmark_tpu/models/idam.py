@@ -42,15 +42,22 @@ class ConvBlock(nn.Module):
 
 
 class Propagate(nn.Module):
-    """Edge conv on a fixed neighbour graph (idam.py:115-128)."""
+    """Edge conv on a fixed neighbour graph (idam.py:115-128).
+
+    The first 1x1 conv commutes with the gather/subtraction:
+    Dense(x_j - x_i) == gather(Dense(x)) - Dense(x), so the projection runs
+    on N points (not N*k) and only emb-dim features are gathered.
+    """
 
     emb_dims: int
 
     @nn.compact
     def __call__(self, x, idx, train: bool):
-        nn_feat = ops.grouping_operation(x, idx)          # (B, N, k, C)
-        h = nn_feat - x[:, :, None, :]
-        h = ConvBlock((self.emb_dims, self.emb_dims))(h, train)
+        p = layers.TorchDense(self.emb_dims, use_bias=False)(x)  # (B, N, emb)
+        h = ops.grouping_operation(p, idx) - p[:, :, None, :]
+        h = layers.BatchNorm()(h, train)
+        h = nn.relu(h)
+        h = layers.TorchDense(self.emb_dims)(h)
         h = jnp.max(h, axis=2)
         return ConvBlock((self.emb_dims,))(h, train)
 

@@ -103,6 +103,60 @@ class DenseCat(nn.Module):
         return y
 
 
+class DenseEdge(nn.Module):
+    """Dense over virtual DGCNN edge features without materializing them.
+
+    Computes ``cat(parts, -1) @ W`` for the edge-feature layouts
+    (``[x_i, x_j]``, ``[x_j, x_i]``, ``[x_i, x_j - x_i]``) using the identity
+    Dense(gather(x)) == gather(Dense(x)): the center/neighbour halves of the
+    kernel are applied to the N points first and only the D-dim projections
+    are gathered — the (B, N, k, 2C) tensor never exists and the
+    gather/scatter HBM traffic drops from k*2C to k*D per point. Parameters
+    are identical to TorchDense(D) on the concatenated edge features.
+
+    mode: 'center_neighbor' | 'neighbor_center' | 'center_minus'.
+    """
+
+    features: int
+    mode: str = "center_minus"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, idx):
+        from mvp_benchmark_tpu import ops
+
+        C = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_linear_init, (2 * C, self.features)
+        )
+        Wa, Wb = kernel[:C], kernel[C:]
+        if self.mode == "center_neighbor":      # cat([x_i, x_j])
+            w_center, w_neigh = Wa, Wb
+        elif self.mode == "neighbor_center":    # cat([x_j, x_i])
+            w_center, w_neigh = Wb, Wa
+        elif self.mode == "center_minus":       # cat([x_i, x_j - x_i])
+            w_center, w_neigh = Wa - Wb, Wb
+        else:
+            raise ValueError(f"unknown mode {self.mode!r}")
+
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, C)
+        center = jnp.dot(x2, w_center, preferred_element_type=jnp.float32)
+        neigh = jnp.dot(x2, w_neigh, preferred_element_type=jnp.float32)
+        center = center.reshape(lead + (self.features,))
+        neigh = neigh.reshape(lead + (self.features,))
+        y = center[:, :, None, :] + ops.grouping_operation(neigh, idx)
+        if self.use_bias:
+            bound = 1.0 / math.sqrt(2 * C)
+            bias = self.param(
+                "bias",
+                lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+                (self.features,),
+            )
+            y = y + bias
+        return y
+
+
 class BatchNorm(nn.Module):
     """torch-compatible BatchNorm over the last (channel) axis.
 

@@ -57,10 +57,22 @@ class SAModule(nn.Module):
     def __call__(self, x, idx):
         identity = x
         h = nn.relu(x)
-        xn = ops.grouping_operation(h, idx)                # (B, N, k, C)
         x1 = layers.TorchDense(self.rel_planes)(h)         # (B, N, rel)
-        x2 = layers.TorchDense(self.rel_planes)(xn)        # (B, N, k, rel)
-        x3 = layers.TorchDense(self.mid_planes)(xn)        # (B, N, k, mid)
+        # 1x1 convs commute with the neighbour gather: project to the small
+        # rel/mid widths FIRST, then gather ONE concatenated (rel+mid)-dim
+        # tensor — identical math/params to Dense(grouping(h)) with
+        # (rel+mid)/C of the gather/scatter HBM traffic and a single gather's
+        # row overhead (the gathers dominate the profile otherwise).
+        proj = jnp.concatenate(
+            [
+                layers.TorchDense(self.rel_planes)(h),
+                layers.TorchDense(self.mid_planes)(h),
+            ],
+            axis=-1,
+        )
+        pn = ops.grouping_operation(proj, idx)             # (B, N, k, rel+mid)
+        x2 = pn[..., : self.rel_planes]
+        x3 = pn[..., self.rel_planes:]
 
         B, N = h.shape[:2]
         x2 = x2.reshape(B, N, self.k * self.rel_planes)
