@@ -230,18 +230,36 @@ def furthest_point_sample(xyz: jnp.ndarray, num_samples: int) -> jnp.ndarray:
 
 
 def _knn_kernel(q_ref, p_ref, idx_ref, dist_ref, *, k):
-    """Grid=(B, M/TM). One (TM, N) exact distance tile in VMEM; k successive
+    """Grid=(B, M/TM). One (TM, N) distance tile in VMEM; k successive
     masked min/argmin passes emit neighbours in ascending-distance order
     (ties -> lowest index, matching lax.top_k on the negated matrix).
     Outputs are (1, k, TM) so every store is a full lane row.
+
+    Distances: exact per-coordinate difference planes for narrow points
+    (the parity-critical 3D geometric case), MXU |q|^2+|p|^2-2qp^T expansion
+    for wide feature-space kNN (DGCNN-style graph features; near-ties may
+    resolve differently there, matching the fp32-matmul torch reference's
+    own tolerance).
     """
     tm = q_ref.shape[1]
     n = p_ref.shape[1]
+    dim = q_ref.shape[2]
 
-    d = jnp.zeros((tm, n), jnp.float32)
-    for c in range(3):
-        diff = q_ref[0, :, c][:, None] - p_ref[0, :, c][None, :]
-        d += diff * diff
+    if dim <= 16:
+        d = jnp.zeros((tm, n), jnp.float32)
+        for c in range(dim):
+            diff = q_ref[0, :, c][:, None] - p_ref[0, :, c][None, :]
+            d += diff * diff
+    else:
+        q = q_ref[0]                                          # (TM, C)
+        p = p_ref[0]                                          # (N, C)
+        q2 = jnp.sum(q * q, axis=1, keepdims=True)            # (TM, 1)
+        p2 = jnp.sum(p * p, axis=1, keepdims=True)            # (N, 1)
+        qp = jax.lax.dot_general(
+            q, p, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d = jnp.maximum(q2 + p2.T - 2.0 * qp, 0.0)
 
     col = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
     for j in range(k):
@@ -262,11 +280,11 @@ def _knn_tile(m: int) -> int:
 def knn_pallas(
     query: jnp.ndarray, points: jnp.ndarray, k: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused kNN: (B, M, 3) queries in (B, N, 3) points -> (sqdist, idx),
+    """Fused kNN: (B, M, C) queries in (B, N, C) points -> (sqdist, idx),
     both (B, M, k), nearest first. The (B, M, N) distance matrix never leaves
     VMEM (the jnp path materializes it in HBM and runs lax.top_k over it).
     """
-    B, M, _ = query.shape
+    B, M, C = query.shape
     N = points.shape[1]
     k = min(k, N)
     TM = _knn_tile(M)
@@ -275,9 +293,9 @@ def knn_pallas(
         functools.partial(_knn_kernel, k=k),
         grid=(B, M // TM),
         in_specs=[
-            pl.BlockSpec((1, TM, 3), lambda bi, i: (bi, i, 0),
+            pl.BlockSpec((1, TM, C), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 3), lambda bi, i: (bi, 0, 0),
+            pl.BlockSpec((1, N, C), lambda bi, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
