@@ -21,25 +21,19 @@ from mvp_benchmark_tpu.models import common, layers
 from mvp_benchmark_tpu.models.pcn import PCNEncoder
 
 
-class StackConv(nn.Module):
-    """Dense-block unit: y = cat(x, act(conv(x))) (ecg.py:21-33)."""
-
-    output_size: int
-    act: bool = True
-
-    @nn.compact
-    def __call__(self, x):
-        y = layers.TorchDense(self.output_size)(x)
-        if self.act:
-            y = nn.relu(y)
-        return jnp.concatenate([x, y], axis=-1)
-
-
 class DenseConv(nn.Module):
-    """DGCNN dense-graph-conv block (ecg.py:36-65).
+    """DGCNN dense-graph-conv block (ecg.py:21-65, Stack_conv + Dense_conv).
 
     (B, N, C) -> (B, N, C + growth_rate * dense_n) via kNN edge features and
     a densely-connected conv stack, max-pooled over neighbours.
+
+    The dense-block concatenations are kept VIRTUAL: each stacked conv is a
+    DenseCat over the running list of parts (identical parameters to Dense on
+    the materialized concat), and because max over neighbours commutes with
+    channel concatenation the parts are only concatenated after the k-max —
+    the reference's (B, N, k, C+i*growth) intermediates never exist. This
+    also avoids the pathologically slow XLA TPU compile path for
+    concat->dot chains.
     """
 
     growth_rate: int = 64
@@ -51,20 +45,24 @@ class DenseConv(nn.Module):
         from mvp_benchmark_tpu import ops
 
         # edge features + 1x1 conv as a project-then-gather DenseEdge
-        # (identical math/params to Dense(get_graph_feature(x)), far less
-        # gather traffic)
+        # (identical math/params to Dense(get_graph_feature(x)))
         idx = ops.knn_indices(x, self.k)
-        y = nn.relu(
+        e = nn.relu(
             layers.DenseEdge(self.growth_rate, mode="center_minus")(x, idx)
         )
-        k_eff = y.shape[2]  # kNN clamps k to the level's point count
-        center = jnp.broadcast_to(
-            x[:, :, None, :], x.shape[:2] + (k_eff, x.shape[-1])
-        )
-        y = jnp.concatenate([y, center], axis=-1)
+        center = x[:, :, None, :]                       # broadcast over k
+        parts = [e, center]
         for i in range(self.dense_n - 1):
-            y = StackConv(self.growth_rate, act=(i != self.dense_n - 2))(y)
-        return jnp.max(y, axis=2)
+            y = layers.DenseCat(self.growth_rate)(*parts)
+            if i != self.dense_n - 2:
+                y = nn.relu(y)
+            parts.append(y)
+        # max_k(cat(parts)) == cat(max_k(p) for p in parts)
+        pooled = [
+            p[:, :, 0, :] if p.shape[2] == 1 else jnp.max(p, axis=2)
+            for p in parts
+        ]
+        return jnp.concatenate(pooled, axis=-1)
 
 
 class EFEncoder(nn.Module):
@@ -119,18 +117,15 @@ class EFEncoder(nn.Module):
         idx, w = ops.three_nn_upsampling(pc3, pc4)
         x4 = ops.three_interpolate(x4, idx, w)
 
-        x3 = jnp.concatenate([x3, x4], axis=-1)
-        x3 = nn.relu(layers.TorchDense(768)(x3))
+        x3 = nn.relu(layers.DenseCat(768)(x3, x4))
         idx, w = ops.three_nn_upsampling(pc2, pc3)
         x3 = ops.three_interpolate(x3, idx, w)
 
-        x2 = jnp.concatenate([x2, x3], axis=-1)
-        x2 = nn.relu(layers.TorchDense(512)(x2))
+        x2 = nn.relu(layers.DenseCat(512)(x2, x3))
         idx, w = ops.three_nn_upsampling(pc1, pc2)
         x2 = ops.three_interpolate(x2, idx, w)
 
-        x1 = jnp.concatenate([x1, x2], axis=-1)
-        return layers.TorchDense(self.output_size)(x1)
+        return layers.DenseCat(self.output_size)(x1, x2)
 
 
 class ECGDecoder(nn.Module):

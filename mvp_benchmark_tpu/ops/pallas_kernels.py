@@ -235,17 +235,18 @@ def _knn_kernel(q_ref, p_ref, idx_ref, dist_ref, *, k):
     (ties -> lowest index, matching lax.top_k on the negated matrix).
     Outputs are (1, k, TM) so every store is a full lane row.
 
-    Distances: exact per-coordinate difference planes for narrow points
-    (the parity-critical 3D geometric case), MXU |q|^2+|p|^2-2qp^T expansion
-    for wide feature-space kNN (DGCNN-style graph features; near-ties may
-    resolve differently there, matching the fp32-matmul torch reference's
-    own tolerance).
+    Distances: exact per-coordinate difference planes for C <= 64 (covers
+    the parity-critical 3D geometric case and the benchmark's feature-space
+    kNN at C in {24, 48}); MXU |q|^2+|p|^2-2qp^T expansion beyond that
+    (bf16-rounded inputs: ~94% neighbour agreement on random features —
+    only reachable via EFExpansion k=4 graph features in >=2x upsample
+    configs).
     """
     tm = q_ref.shape[1]
     n = p_ref.shape[1]
     dim = q_ref.shape[2]
 
-    if dim <= 16:
+    if dim <= 64:
         d = jnp.zeros((tm, n), jnp.float32)
         for c in range(dim):
             diff = q_ref[0, :, c][:, None] - p_ref[0, :, c][None, :]
