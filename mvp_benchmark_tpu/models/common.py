@@ -77,6 +77,10 @@ def get_uniform_loss(
     B, N, _ = pcd.shape
     npoint = int(N * 0.05)
     loss = 0.0
+    # FPS is deterministic: the reference recomputes the identical sampling
+    # inside every percentage iteration (model_utils.py:209-210); hoist it.
+    fps_idx = ops.furthest_point_sample(pcd, npoint)
+    new_xyz = ops.gather_points(pcd, fps_idx)
     for p in percentages:
         nsample = int(N * p)
         if nsample < 2:
@@ -86,8 +90,6 @@ def get_uniform_loss(
             continue
         r = math.sqrt(p * radius)
         disk_area = math.pi * radius**2 * p / nsample
-        fps_idx = ops.furthest_point_sample(pcd, npoint)
-        new_xyz = ops.gather_points(pcd, fps_idx)
         idx = ops.ball_query(0.0, r, nsample, pcd, new_xyz)
         expect_len = math.sqrt(disk_area)
 

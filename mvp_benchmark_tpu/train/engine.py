@@ -103,8 +103,21 @@ def _init_model(cfg: Config, model, example_args, rng_seed: int = 0):
         "dropout": jax.random.PRNGKey(rng_seed + 1),
         "sample": jax.random.PRNGKey(rng_seed + 2),
     }
-    variables = model.init(rngs, *example_args)
-    variables = dict(variables)
+
+    # Jit the init: eager init dispatches every op separately, which is
+    # pathological through the remote-compile TPU tunnel (one mini compile
+    # per op). Non-array example args (None / prefix strings) are closed
+    # over as statics.
+    is_array = lambda a: isinstance(a, (jnp.ndarray, np.ndarray))
+    array_args = [a for a in example_args if is_array(a)]
+
+    @jax.jit
+    def do_init(rngs, arrays):
+        it = iter(arrays)
+        args = [next(it) if is_array(a) else a for a in example_args]
+        return model.init(rngs, *args)
+
+    variables = dict(do_init(rngs, array_args))
     return variables
 
 
