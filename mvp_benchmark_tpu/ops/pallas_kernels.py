@@ -272,7 +272,9 @@ def _knn_kernel(q_ref, p_ref, idx_ref, dist_ref, *, k):
 
 
 def _knn_tile(m: int) -> int:
-    for tm in (256, 128, 64, 32, 16, 8):
+    # The (1, k, TM) output block requires TM to be a multiple of 128 or to
+    # span the whole M dimension.
+    for tm in (256, 128):
         if m % tm == 0:
             return tm
     return m
