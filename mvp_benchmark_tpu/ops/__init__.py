@@ -22,13 +22,13 @@ from mvp_benchmark_tpu.ops.jnp_ref import (
     emd_auction,
     furthest_point_sample as furthest_point_sample_ref,
     furthest_point_sample_with_dist,
-    gather_points,
-    grouping_operation,
+    gather_points as gather_points_ref,
+    grouping_operation as grouping_operation_ref,
     knn_indices as knn_indices_ref,
     knn_points as knn_points_ref,
     knn_query,
     square_distance,
-    three_interpolate,
+    three_interpolate as three_interpolate_ref,
     three_nn as three_nn_ref,
     three_nn_upsampling as three_nn_upsampling_ref,
 )
@@ -36,8 +36,11 @@ from mvp_benchmark_tpu.ops.jnp_ref import (
 from mvp_benchmark_tpu.ops.dispatch import (
     chamfer_distance,
     furthest_point_sample,
+    gather_points,
+    grouping_operation,
     knn_indices,
     knn_points,
+    three_interpolate,
     three_nn,
     three_nn_upsampling,
 )

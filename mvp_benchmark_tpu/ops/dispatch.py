@@ -23,9 +23,18 @@ def _on_tpu() -> bool:
         return False
 
 
+def _lane_aligned(*dims: int) -> bool:
+    """Mosaic's argmin/argmax/bitcast lowerings require the reduced lane
+    dimension to be a multiple of 128 AND span more than one vreg (empirical:
+    N=128 fails with an unresolved f32->i32 materialization, N>=256 works).
+    Unaligned (smoke/test) shapes route to the jnp references, which XLA
+    handles at any shape."""
+    return all(d % 128 == 0 and d >= 256 for d in dims)
+
+
 def chamfer_distance(a, b):
     """Bidirectional squared chamfer distance (see jnp_ref.chamfer_distance)."""
-    if _on_tpu():
+    if _on_tpu() and _lane_aligned(a.shape[1], b.shape[1]):
         from mvp_benchmark_tpu.ops import pallas_kernels
 
         return pallas_kernels.chamfer_distance(a, b)
@@ -34,7 +43,7 @@ def chamfer_distance(a, b):
 
 def furthest_point_sample(xyz, num_samples: int):
     """Greedy FPS (see jnp_ref.furthest_point_sample)."""
-    if _on_tpu():
+    if _on_tpu() and _lane_aligned(xyz.shape[1]):
         from mvp_benchmark_tpu.ops import pallas_kernels
 
         return pallas_kernels.furthest_point_sample(xyz, num_samples)
@@ -43,7 +52,7 @@ def furthest_point_sample(xyz, num_samples: int):
 
 def knn_points(query, points, k: int):
     """kNN of query in points (see jnp_ref.knn_points)."""
-    if _on_tpu():
+    if _on_tpu() and _lane_aligned(points.shape[1]):
         from mvp_benchmark_tpu.ops import pallas_kernels
 
         return pallas_kernels.knn_points(query, points, k)
@@ -52,7 +61,7 @@ def knn_points(query, points, k: int):
 
 def knn_indices(points, k: int):
     """Self-kNN (see jnp_ref.knn_indices)."""
-    if _on_tpu():
+    if _on_tpu() and _lane_aligned(points.shape[1]):
         from mvp_benchmark_tpu.ops import pallas_kernels
 
         return pallas_kernels.knn_indices(points, k)
@@ -63,18 +72,52 @@ def three_nn(target, source):
     """Top-3 NN (see jnp_ref.three_nn). The jnp path's lax.top_k lowers to a
     full sort over the (B, N, M) matrix on TPU (~100ms/step in VRCNet);
     the Pallas kNN kernel does 3 argmin passes in VMEM instead."""
-    if _on_tpu():
+    if _on_tpu() and _lane_aligned(source.shape[1]):
         import jax.numpy as jnp
         from jax import lax
 
         from mvp_benchmark_tpu.ops import pallas_kernels
 
-        sqdist, idx = pallas_kernels.knn_pallas(
-            lax.stop_gradient(target), lax.stop_gradient(source), 3
-        )
-        dist = jnp.sqrt(jnp.maximum(sqdist, 0.0))
+        t = lax.stop_gradient(target)
+        s = lax.stop_gradient(source)
+        _, idx = pallas_kernels.knn_pallas(t, s, 3)
+        # The kernel's packed-key distances are quantized (~2^-11 relative);
+        # recompute exact fp32 distances from the gathered neighbours (the
+        # CUDA three_nn returns exact sqrt distances).
+        neigh = pallas_kernels.grouping_operation(s, idx)    # (B, N, 3, 3)
+        sqd = jnp.sum((t[:, :, None, :] - neigh) ** 2, axis=-1)
+        dist = jnp.sqrt(jnp.maximum(sqd, 0.0))
         return lax.stop_gradient(dist), idx
     return jnp_ref.three_nn(target, source)
+
+
+def grouping_operation(features, idx):
+    """Group rows by (B, M, K) index (see jnp_ref.grouping_operation). On TPU
+    the backward runs as an MXU one-hot matmul instead of XLA's row-at-a-time
+    scatter fusion (the largest cost in the VRCNet step profile)."""
+    if _on_tpu():
+        from mvp_benchmark_tpu.ops import pallas_kernels
+
+        return pallas_kernels.grouping_operation(features, idx)
+    return jnp_ref.grouping_operation(features, idx)
+
+
+def gather_points(features, idx):
+    """Gather rows by (B, M) index (see jnp_ref.gather_points)."""
+    if _on_tpu():
+        from mvp_benchmark_tpu.ops import pallas_kernels
+
+        return pallas_kernels.gather_points(features, idx)
+    return jnp_ref.gather_points(features, idx)
+
+
+def three_interpolate(features, idx, weight):
+    """Weighted 3-NN interpolation (see jnp_ref.three_interpolate)."""
+    if _on_tpu():
+        from mvp_benchmark_tpu.ops import pallas_kernels
+
+        return pallas_kernels.three_interpolate(features, idx, weight)
+    return jnp_ref.three_interpolate(features, idx, weight)
 
 
 def three_nn_upsampling(target_points, source_points):

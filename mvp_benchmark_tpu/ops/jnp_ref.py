@@ -347,9 +347,15 @@ def _emd_body(carry, D, eps, n, m, last):
     unass = assignment < 0
 
     benefit = 3.0 - D - price[None, :]                     # (n, m)
-    top2, top2_i = lax.top_k(benefit, 2)
-    best, better = top2[:, 0], top2[:, 1]
-    best_i = top2_i[:, 0]
+    # Best + second-best via two max sweeps: lax.top_k lowers to a full sort
+    # over the lane dimension on TPU (the same pathology the kNN kernel
+    # avoids); argmax/max passes keep each round O(nm) streaming.
+    best_i = jnp.argmax(benefit, axis=1).astype(jnp.int32)
+    best = jnp.max(benefit, axis=1)
+    col = lax.broadcasted_iota(jnp.int32, benefit.shape, 1)
+    better = jnp.max(
+        jnp.where(col == best_i[:, None], -jnp.inf, benefit), axis=1
+    )
     bid_inc = best - better + eps                          # (n,)
 
     if last:
@@ -404,7 +410,35 @@ def emd_auction(
     return _emd_forward(xyz1, xyz2, eps, iters)
 
 
+def emd_validate(xyz1: jnp.ndarray, xyz2: jnp.ndarray) -> None:
+    """Static input validation mirroring the CUDA launcher's asserts
+    (reference ``utils/metrics/EMD/emd_cuda.cu:236-249``): n == m,
+    n % 1024 == 0, batch <= 512. The CUDA kernel additionally requires
+    coordinates in [0, 1] (the benefit offset 3.0 assumes bounded
+    distances); that is a runtime property — callers outside jit can check
+    ``(x >= 0) & (x <= 1)`` themselves. This implementation stays correct
+    for any n (the constraint is the CUDA kernel's block math, kept here as
+    protocol documentation), so only hard shape errors raise.
+    """
+    B, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    if n != m:
+        raise ValueError(f"EMD requires n == m, got {n} vs {m} "
+                         "(emd_cuda.cu:239)")
+    if B > 512:
+        raise ValueError(f"EMD batch must be <= 512, got {B} "
+                         "(emd_cuda.cu:247)")
+    if n % 1024 != 0:
+        import warnings
+
+        warnings.warn(
+            f"EMD protocol expects n % 1024 == 0 (emd_cuda.cu:243); got "
+            f"n={n}. The auction still runs correctly.", stacklevel=2,
+        )
+
+
 def _emd_forward(xyz1, xyz2, eps, iters):
+    emd_validate(xyz1, xyz2)
     B, n, _ = xyz1.shape
     m = xyz2.shape[1]
     D = jnp.sqrt(square_distance(xyz1, xyz2))              # (B, n, m)

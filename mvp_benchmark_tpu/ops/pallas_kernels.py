@@ -230,10 +230,19 @@ def furthest_point_sample(xyz: jnp.ndarray, num_samples: int) -> jnp.ndarray:
 
 
 def _knn_kernel(q_ref, p_ref, idx_ref, dist_ref, *, k):
-    """Grid=(B, M/TM). One (TM, N) distance tile in VMEM; k successive
-    masked min/argmin passes emit neighbours in ascending-distance order
-    (ties -> lowest index, matching lax.top_k on the negated matrix).
-    Outputs are (1, k, TM) so every store is a full lane row.
+    """Grid=(B, M/TM). One (TM, N) distance tile in VMEM; neighbours emitted
+    in ascending-distance order via k packed-key min sweeps. Outputs are
+    (1, k, TM) so every store is a full lane row.
+
+    Packed-key extraction: distance bits and the candidate index are packed
+    into ONE int32 key (non-negative f32 bit patterns sort like the floats;
+    the low ceil(log2 N) mantissa bits are replaced by the column index), so
+    each extraction is 3 VPU passes — min-reduce, compare-to-min, select —
+    instead of separate argmin/min/mask sweeps. The index ride-along
+    quantizes the comparison distance to ~2^-(23 - log2 N) relative
+    (~5e-4 at N=2048): selection between two neighbours closer than that is
+    tie-broken by index. Callers needing exact distances recompute them from
+    the gathered neighbours (knn_points / dispatch.three_nn do).
 
     Distances: exact per-coordinate difference planes for C <= 64 (covers
     the parity-critical 3D geometric case and the benchmark's feature-space
@@ -263,12 +272,27 @@ def _knn_kernel(q_ref, p_ref, idx_ref, dist_ref, *, k):
         d = jnp.maximum(q2 + p2.T - 2.0 * qp, 0.0)
 
     col = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
-    for j in range(k):
-        arg = jnp.argmin(d, axis=1).astype(jnp.int32)        # (TM,)
-        cur = jnp.min(d, axis=1)
-        idx_ref[0, j, :] = arg
-        dist_ref[0, j, :] = cur
-        d = jnp.where(col == arg[:, None], jnp.float32(jnp.inf), d)
+    if n % 128 == 0:
+        # Packed path: Mosaic's vector bitcast requires lane-aligned vregs.
+        bits = max(n - 1, 1).bit_length()
+        lomask = (1 << bits) - 1
+        d_bits = pltpu.bitcast(d, jnp.int32)
+        key = (d_bits & ~lomask) | col                        # (TM, N)
+        sentinel = jnp.int32(0x7F000000)                      # > any distance
+        for j in range(k):
+            kmin = jnp.min(key, axis=1, keepdims=True)        # (TM, 1)
+            idx_ref[0, j, :] = (kmin & lomask)[:, 0]
+            dist_ref[0, j, :] = pltpu.bitcast(
+                kmin & ~lomask, jnp.float32
+            )[:, 0]
+            key = jnp.where(key == kmin, sentinel, key)
+    else:
+        # Exact argmin sweeps for unaligned N (small/smoke shapes only).
+        for j in range(k):
+            arg = jnp.argmin(d, axis=1).astype(jnp.int32)     # (TM,)
+            idx_ref[0, j, :] = arg
+            dist_ref[0, j, :] = jnp.min(d, axis=1)
+            d = jnp.where(col == arg[:, None], jnp.float32(jnp.inf), d)
 
 
 def _knn_tile(m: int) -> int:
@@ -338,7 +362,7 @@ def knn_points(
     _, idx = knn_pallas(
         lax.stop_gradient(query), lax.stop_gradient(points), k
     )
-    neigh = jnp_ref.grouping_operation(points, idx)          # (B, M, k, 3)
+    neigh = grouping_operation(points, idx)                  # (B, M, k, 3)
     d = jnp.sum((query[:, :, None, :] - neigh) ** 2, axis=-1)
     return -d, idx
 
@@ -348,3 +372,243 @@ def knn_indices(points: jnp.ndarray, k: int) -> jnp.ndarray:
     pts = lax.stop_gradient(points)
     _, idx = knn_pallas(pts, pts, min(k, points.shape[1]))
     return idx
+
+
+# ---------------------------------------------------------------------------
+# Scatter-add rows (the gather backward) on the MXU
+# ---------------------------------------------------------------------------
+#
+# XLA lowers the scatter-add backward of a row gather to a row-at-a-time
+# custom fusion (~5-10 ns/row); at VRCNet scale (3.1M gathered rows per step
+# at level 1 alone) the scatters are the single largest cost in the profile
+# (~120 ms of a 422 ms step). The TPU-native formulation is a matmul:
+#
+#     d_table = onehot(idx)^T @ g
+#
+# with the (TM, N) one-hot tile built in VMEM (never in HBM) and contracted
+# on the MXU. The one-hot is exact in bf16 (0/1); `g` is split into
+# hi + lo bf16 parts (bf16x2) so the result matches fp32 scatter-add to
+# ~1e-6 relative — the CUDA ops the gathers replace (reference
+# utils/mm3d_pn2/ops/{group_points,gather_points}) accumulate in fp32.
+
+_SCATTER_TM = 512
+_SCATTER_VMEM_LIMIT = 4 * 1024 * 1024  # max f32 bytes for the (N, C) block
+
+
+def _scatter_rows_kernel(idx_ref, ghi_ref, glo_ref, out_ref, *, tm, exact):
+    m = pl.program_id(1)
+    n = out_ref.shape[1]
+    ii = idx_ref[0, 0, pl.ds(m * tm, tm)]                  # (TM,)
+    col = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
+    oh = (col == ii[:, None]).astype(jnp.bfloat16)          # (TM, N)
+    contract = (((0,), (0,)), ((), ()))
+    acc = lax.dot_general(oh, ghi_ref[0], dimension_numbers=contract,
+                          preferred_element_type=jnp.float32)
+    if exact:
+        acc = acc + lax.dot_general(oh, glo_ref[0], dimension_numbers=contract,
+                                    preferred_element_type=jnp.float32)
+
+    @pl.when(m == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    out_ref[0] += acc
+
+
+def scatter_add_rows(
+    grads: jnp.ndarray, idx: jnp.ndarray, num_rows: int, exact: bool = True
+) -> jnp.ndarray:
+    """Segment-sum of ``grads`` rows into ``num_rows`` buckets (MXU one-hot).
+
+    grads: (B, M, C) f32, idx: (B, M) int32 in [0, num_rows) ->
+      out (B, num_rows, C) with out[b, r] = sum_{m: idx[b,m]==r} grads[b, m].
+
+    Semantics == ``zeros(B, num_rows, C).at[b, idx].add(grads)`` — the
+    backward of a row gather (reference group_points_cuda.cu backward's
+    atomicAdd loop). ``exact=True`` splits grads into bf16 hi+lo parts
+    (~1e-6 relative of fp32); ``exact=False`` rounds grads to bf16 once
+    (~2^-9 relative), halving MXU work.
+    """
+    B, M, C = grads.shape
+    tm = _SCATTER_TM
+    pad = (-M) % tm
+    if pad:
+        # Padded slots point at row `num_rows`, which no one-hot column
+        # matches -> they contribute nothing.
+        idx = jnp.concatenate(
+            [idx, jnp.full((B, pad), num_rows, jnp.int32)], axis=1
+        )
+        grads = jnp.concatenate(
+            [grads, jnp.zeros((B, pad, C), grads.dtype)], axis=1
+        )
+    Mp = M + pad
+    ghi = grads.astype(jnp.bfloat16)
+    glo = (
+        (grads - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
+        if exact else ghi
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_scatter_rows_kernel, tm=tm, exact=exact),
+        grid=(B, Mp // tm),
+        in_specs=[
+            pl.BlockSpec((1, 1, Mp), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, C), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, C), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, num_rows, C), lambda b, m: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, num_rows, C), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Mp * num_rows * max(C, 128) * (2 if exact else 1),
+            bytes_accessed=B * (Mp * C * 4 + num_rows * C * 4 + Mp * 4),
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(idx.astype(jnp.int32).reshape(B, 1, Mp), ghi, glo)
+    return out
+
+
+# Gather backwards round the incoming cotangents to bf16 (exact=False) by
+# default: every Dense layer's backward matmul already runs at XLA DEFAULT
+# precision (bf16-rounded inputs, f32 accumulation), so an exact fp32 edge
+# scatter would be more precise than the rest of the backward pass while
+# costing 2x MXU work plus a hi/lo split pass. Flip for ablations.
+GATHER_BWD_EXACT = False
+
+
+def _scatter_fits(num_rows: int, C: int) -> bool:
+    return num_rows * C * 4 <= _SCATTER_VMEM_LIMIT
+
+
+def _float0_like(x):
+    import numpy as np
+
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+def _gather_rows_kernel(idx_ref, t_ref, o_ref, *, tm):
+    m = pl.program_id(1)
+    n = t_ref.shape[1]
+    ii = idx_ref[0, 0, pl.ds(m * tm, tm)]                   # (TM,)
+    col = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
+    oh = (col == ii[:, None]).astype(jnp.bfloat16)
+    o_ref[0] = jnp.dot(oh, t_ref[0], preferred_element_type=jnp.float32)
+
+
+def _gather_rows_onehot(features: jnp.ndarray, flat_idx: jnp.ndarray):
+    """(B, N, C) x (B, M) -> (B, M, C) via a VMEM one-hot MXU matmul.
+
+    The table is rounded to bf16 (the one-hot itself is exact): XLA's
+    row-at-a-time gather costs ~6 ns/row regardless of width, so at VRCNet
+    scale (>3M gathered rows per level) the MXU formulation is 2-6x faster.
+    Used for ACTIVATION gathers only — every downstream matmul would round
+    the gathered values to bf16 anyway (XLA DEFAULT precision).
+    """
+    B, N, C = features.shape
+    M = flat_idx.shape[1]
+    tm = _SCATTER_TM
+    pad = (-M) % tm
+    if pad:
+        flat_idx = jnp.concatenate(
+            [flat_idx, jnp.zeros((B, pad), jnp.int32)], axis=1
+        )
+    Mp = M + pad
+    out = pl.pallas_call(
+        functools.partial(_gather_rows_kernel, tm=tm),
+        grid=(B, Mp // tm),
+        in_specs=[
+            pl.BlockSpec((1, 1, Mp), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, C), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tm, C), lambda b, m: (b, m, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Mp, C), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Mp * N * max(C, 128),
+            bytes_accessed=B * (Mp * C * 4 + N * C * 2 + Mp * 4),
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(flat_idx.reshape(B, 1, Mp), features.astype(jnp.bfloat16))
+    return out[:, :M] if pad else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_rows(
+    features: jnp.ndarray, idx: jnp.ndarray, approx: bool = False
+) -> jnp.ndarray:
+    """Row gather with an MXU scatter backward.
+
+    features: (B, N, C), idx: (B, ...) int -> (B, ..., C).
+
+    approx=False: forward is the plain XLA gather (exact, row-bound).
+    approx=True: forward is a one-hot MXU matmul with the table rounded to
+    bf16 — for activation gathers, where every consumer matmul applies the
+    same rounding anyway. Backward always routes through
+    ``scatter_add_rows`` instead of XLA's row-at-a-time scatter fusion.
+    """
+    B, N, C = features.shape
+    flat = idx.reshape(B, -1).astype(jnp.int32)
+    if approx:
+        out = _gather_rows_onehot(features, flat).astype(features.dtype)
+    else:
+        out = jnp.take_along_axis(features, flat[..., None], axis=1)
+    return out.reshape(idx.shape + (C,))
+
+
+def _gather_rows_fwd(features, idx, approx):
+    return gather_rows(features, idx, approx), (features.shape, idx)
+
+
+def _gather_rows_bwd(approx, res, g):
+    (B, N, C), idx = res
+    flat = idx.reshape(B, -1).astype(jnp.int32)
+    d_feat = scatter_add_rows(
+        g.astype(jnp.float32).reshape(B, -1, C), flat, N,
+        exact=GATHER_BWD_EXACT,
+    )
+    # The gather preserves dtype, so g.dtype == features.dtype.
+    return d_feat.astype(g.dtype), _float0_like(idx)
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
+def _approx_default(C: int) -> bool:
+    # C == 3 gathers move raw xyz coordinates (chamfer/knn recomputation,
+    # FPS outputs, uniform-loss disks) and stay exact; wider gathers move
+    # activations whose consumers round to bf16 at the next matmul anyway.
+    return C > 3
+
+
+def grouping_operation(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Drop-in for jnp_ref.grouping_operation with the MXU scatter backward."""
+    B, N, C = features.shape
+    if not _scatter_fits(N, C):
+        return jnp_ref.grouping_operation(features, idx)
+    return gather_rows(features, idx, _approx_default(C))
+
+
+def gather_points(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Drop-in for jnp_ref.gather_points with the MXU scatter backward."""
+    B, N, C = features.shape
+    if not _scatter_fits(N, C):
+        return jnp_ref.gather_points(features, idx)
+    return gather_rows(features, idx, _approx_default(C))
+
+
+def three_interpolate(
+    features: jnp.ndarray, idx: jnp.ndarray, weight: jnp.ndarray
+) -> jnp.ndarray:
+    """Drop-in for jnp_ref.three_interpolate with the MXU scatter backward."""
+    B, M, C = features.shape
+    if not _scatter_fits(M, C):
+        return jnp_ref.three_interpolate(features, idx, weight)
+    gathered = gather_rows(features, idx, _approx_default(C))  # (B, N, 3, C)
+    return jnp.sum(gathered * weight[..., None], axis=2)

@@ -105,3 +105,61 @@ def test_knn_pallas_dist_gradient(rng):
     g_r = jax.grad(lambda a, b: jnp.sum(jnp_ref.knn_points(a, b, 3)[0]))(q, p)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_scatter_add_rows_matches_at_add(rng):
+    B, M, N, C = 2, 330, 96, 12            # M deliberately not tile-aligned
+    g = rng.random((B, M, C), dtype=np.float64).astype(np.float32)
+    idx = rng.integers(0, N, (B, M)).astype(np.int32)
+    out = pallas_kernels.scatter_add_rows(jnp.asarray(g), jnp.asarray(idx), N)
+    ref = np.zeros((B, N, C), np.float32)
+    for b in range(B):
+        np.add.at(ref[b], idx[b], g[b])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_gather_rows_backward_matches_reference(rng):
+    B, N, C, M, K = 2, 77, 9, 41, 5
+    feats = jnp.asarray(rng.random((B, N, C), dtype=np.float64).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, N, (B, M, K)), jnp.int32)
+    ct = jnp.asarray(rng.random((B, M, K, C), dtype=np.float64).astype(np.float32))
+
+    # C > 3 -> approx one-hot forward (table rounded to bf16, like every
+    # downstream matmul input under XLA DEFAULT precision).
+    out = pallas_kernels.grouping_operation(feats, idx)
+    ref = jnp_ref.grouping_operation(feats, idx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-2, atol=1e-2)
+    # approx=False forward is the exact XLA gather.
+    exact_fwd = pallas_kernels.gather_rows(feats, idx, False)
+    np.testing.assert_array_equal(np.asarray(exact_fwd), np.asarray(ref))
+
+    # Default backward rounds cotangents to bf16 (GATHER_BWD_EXACT=False),
+    # consistent with DEFAULT-precision Dense backwards everywhere else.
+    g_new = jax.grad(lambda f: jnp.sum(pallas_kernels.grouping_operation(f, idx) * ct))(feats)
+    g_ref = jax.grad(lambda f: jnp.sum(jnp_ref.grouping_operation(f, idx) * ct))(feats)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=2e-2, atol=2e-2)
+    # The exact (bf16x2) scatter matches fp32 scatter-add tightly.
+    B_, M_, C_ = ct.shape[0], ct.shape[1] * ct.shape[2], ct.shape[3]
+    exact = pallas_kernels.scatter_add_rows(
+        ct.reshape(B_, M_, C_), idx.reshape(B_, M_), feats.shape[1], exact=True)
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_three_interpolate_mxu_backward(rng):
+    B, Msrc, C, Ntgt = 2, 40, 7, 65
+    feats = jnp.asarray(rng.random((B, Msrc, C), dtype=np.float64).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, Msrc, (B, Ntgt, 3)), jnp.int32)
+    w = jnp.asarray(rng.random((B, Ntgt, 3), dtype=np.float64).astype(np.float32))
+
+    out = pallas_kernels.three_interpolate(feats, idx, w)
+    ref = jnp_ref.three_interpolate(feats, idx, w)
+    # C > 3 -> approx (bf16-table) one-hot forward.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-2, atol=1e-2)
+    g_new = jax.grad(lambda f: jnp.sum(pallas_kernels.three_interpolate(f, idx, w) ** 2))(feats)
+    g_ref = jax.grad(lambda f: jnp.sum(jnp_ref.three_interpolate(f, idx, w) ** 2))(feats)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=2e-2, atol=2e-2)
