@@ -19,7 +19,13 @@ import numpy as np
 
 
 class DevicePrefetcher:
-    """Wraps a host batch iterator; yields device-resident batches."""
+    """Wraps a host batch iterator; yields device-resident batches.
+
+    Supports early termination (``close()``, or use as a context manager):
+    the worker thread checks a stop flag between puts, so a consumer that
+    breaks out of the loop mid-epoch (``max_steps_per_epoch``) does not leak
+    a blocked thread per epoch.
+    """
 
     def __init__(self, it: Iterator[Dict[str, np.ndarray]],
                  place: Callable[[Dict[str, np.ndarray]], Dict],
@@ -27,18 +33,51 @@ class DevicePrefetcher:
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._place = place
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
 
         def worker():
             try:
                 for batch in it:
-                    self._q.put(self._place(batch))
+                    item = self._place(batch)
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             except BaseException as e:  # propagate into the consumer
                 self._err = e
             finally:
-                self._q.put(None)
+                # The end-of-stream sentinel must not be dropped when the
+                # queue is momentarily full (the consumer would block on
+                # get() forever) — retry until delivered or closed.
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(None, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
+
+    def close(self):
+        self._stop.set()
+        # Drain so a worker blocked on put() can observe the flag and exit.
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     def __iter__(self):
         return self

@@ -32,10 +32,13 @@ from mvp_benchmark_tpu.data.mvp import (
     MVPCompletionDataset,
     MVPRegistrationDataset,
 )
+from mvp_benchmark_tpu.data.prefetch import DevicePrefetcher
 from mvp_benchmark_tpu.models import get_model
+from mvp_benchmark_tpu.parallel import launch
 from mvp_benchmark_tpu.parallel.mesh import get_mesh, shard_batch
 from mvp_benchmark_tpu.train import checkpoint as ckpt
 from mvp_benchmark_tpu.train import optim as optim_util
+from mvp_benchmark_tpu.train import profiling
 from mvp_benchmark_tpu.train.config import Config
 from mvp_benchmark_tpu.train.meters import AverageValueMeter
 
@@ -67,6 +70,18 @@ class NanGuard:
                 " — check LR / input normalization (EMD expects coords in"
                 " [0,1]) / distribution-loss stability."
             )
+
+
+def apply_compute_dtype(cfg: Config) -> None:
+    """Set the global activation dtype policy from ``cfg.compute_dtype``
+    ('bf16'/'bfloat16' or 'f32'/'float32'; default f32). Must run before
+    model init / step tracing (the policy is read at trace time)."""
+    from mvp_benchmark_tpu.models import layers as _layers
+
+    want = str(cfg.compute_dtype or "float32").lower()
+    _layers.set_compute_dtype(
+        jnp.bfloat16 if want in ("bf16", "bfloat16") else jnp.float32
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -230,6 +245,7 @@ def make_eval_step(model, kind: str):
 def train_completion(cfg: Config, log_dir: str, data_dir: str = "./data",
                      max_steps_per_epoch: Optional[int] = None) -> Dict[str, Any]:
     """Completion training loop (reference completion/train.py:21-153)."""
+    apply_compute_dtype(cfg)
     metrics_list = (
         ["cd_p", "cd_t", "emd", "f1"] if cfg.eval_emd else ["cd_p", "cd_t", "f1"]
     )
@@ -237,13 +253,19 @@ def train_completion(cfg: Config, log_dir: str, data_dir: str = "./data",
     train_meter = AverageValueMeter()
     val_meters = {m: AverageValueMeter() for m in metrics_list}
 
+    launch.maybe_initialize_distributed()
+    num_shards, shard_id = launch.host_shard()
     num_points = int(cfg.num_points or 2048)
     dataset = MVPCompletionDataset("train", data_dir, num_points)
     dataset_val = MVPCompletionDataset("val", data_dir, num_points)
     mesh = get_mesh()
+    # Per-host dataset shards (the multi-host analogue of DataLoader
+    # sharding); single-process runs get the identity shard.
     spec = BatchSpec(int(cfg.batch_size), shuffle=True,
-                     seed=int(cfg.manual_seed or 1))
-    val_spec = BatchSpec(int(cfg.batch_size), shuffle=False)
+                     seed=int(cfg.manual_seed or 1),
+                     num_shards=num_shards, shard_id=shard_id)
+    val_spec = BatchSpec(int(cfg.batch_size), shuffle=False,
+                         num_shards=num_shards, shard_id=shard_id)
 
     model = get_model(cfg.model_name, cfg)
     b0 = next(dataset.batches(spec))
@@ -261,38 +283,69 @@ def train_completion(cfg: Config, log_dir: str, data_dir: str = "./data",
     rng = jax.random.PRNGKey(int(cfg.manual_seed or 1))
     guard = NanGuard()
 
+    print_every = int(cfg.step_interval_to_print or 100)
+    timer = profiling.StepTimer()
+
     history = {"train_loss": [], "val": []}
     for epoch in range(int(cfg.start_epoch or 0), int(cfg.nepoch)):
         train_meter.reset()
         alpha = optim_util.alpha_for_epoch(cfg, epoch)
         lr = optim_util.epoch_lr(cfg, epoch)
         context.opt_state = optim_util.set_learning_rate(context.opt_state, lr)
+        a = jnp.asarray(alpha if alpha is not None else 1.0, jnp.float32)
 
-        for i, batch in enumerate(dataset.batches(spec, epoch)):
-            if max_steps_per_epoch and i >= max_steps_per_epoch:
-                break
-            rng, step_rng = jax.random.split(rng)
-            sharded = shard_batch(mesh, batch, exclude=("count",))
-            a = jnp.asarray(alpha if alpha is not None else 1.0, jnp.float32)
-            (context.params, context.batch_stats, context.opt_state, aux) = (
-                train_step(
-                    context.params, context.batch_stats, context.opt_state,
-                    sharded, a, step_rng,
-                )
-            )
-            loss = float(aux["total_loss"])
-            guard.check(loss, f"completion epoch {epoch} step {i}")
-            train_meter.update(loss)
-            if i % int(cfg.step_interval_to_print or 100) == 0:
-                logger.info(
-                    "train [%d: %d] loss_type: %s fine_loss: %f total_loss: %f "
-                    "lr: %f alpha: %s",
-                    epoch, i, cfg.loss, float(aux["fine_loss"]), loss, lr, alpha,
-                )
+        # Device-side loss accumulation: aux scalars stay on device and the
+        # host syncs once per print interval instead of every step (a
+        # per-step float() stalls the async dispatch pipeline — the remote
+        # TPU tunnel makes that a real per-step round-trip). NanGuard
+        # therefore fires up to `print_every` steps late.
+        pending = []
+        t_flush = time.perf_counter()
+
+        def flush():
+            nonlocal t_flush
+            if not pending:
+                return
+            dt = time.perf_counter() - t_flush
+            sps = len(pending) / dt if dt > 0 else 0.0
+            for j, dev in pending:
+                loss = float(dev["total_loss"])
+                guard.check(loss, f"completion epoch {epoch} step {j}")
+                train_meter.update(loss)
+                if j % print_every == 0:
+                    logger.info(
+                        "train [%d: %d] loss_type: %s fine_loss: %f "
+                        "total_loss: %f lr: %f alpha: %s steps/s: %.2f",
+                        epoch, j, cfg.loss, float(dev["fine_loss"]), loss,
+                        lr, alpha, sps,
+                    )
+            pending.clear()
+            t_flush = time.perf_counter()
+
+        # Host->device prefetch overlaps batch assembly + transfer with the
+        # running step (the reference's DataLoader-worker role).
+        place = functools.partial(shard_batch, mesh, exclude=("count",))
+        with DevicePrefetcher(dataset.batches(spec, epoch), place) as pf, \
+                profiling.trace(cfg.profile_dir if epoch == int(cfg.start_epoch or 0) else None):
+            for i, sharded in enumerate(pf):
+                if max_steps_per_epoch and i >= max_steps_per_epoch:
+                    break
+                rng, step_rng = jax.random.split(rng)
+                with timer:
+                    (context.params, context.batch_stats, context.opt_state,
+                     aux) = train_step(
+                        context.params, context.batch_stats,
+                        context.opt_state, sharded, a, step_rng,
+                    )
+                pending.append((i, aux))
+                if len(pending) >= print_every:
+                    flush()
+        flush()
 
         history["train_loss"].append(train_meter.avg)
 
-        if epoch % int(cfg.epoch_interval_to_save or 1) == 0:
+        if (epoch % int(cfg.epoch_interval_to_save or 1) == 0
+                and launch.is_primary()):
             ckpt.save_model(os.path.join(log_dir, "network.pkl"),
                             context.variables, context.opt_state)
 
@@ -352,6 +405,7 @@ REG_METRICS = ["RotE", "transE", "MSE", "RMSE", "recall"]
 def train_registration(cfg: Config, log_dir: str, data_dir: str = "./data",
                        max_steps_per_epoch: Optional[int] = None) -> Dict[str, Any]:
     """Registration training loop (reference registration/train.py:28-111)."""
+    apply_compute_dtype(cfg)
     best = {m: (0, 0.0) if m == "recall" else (0, math.inf) for m in REG_METRICS}
     val_meters = {m: AverageValueMeter() for m in REG_METRICS}
     n_rot = int(cfg.num_rot_levels or 2)
@@ -371,10 +425,14 @@ def train_registration(cfg: Config, log_dir: str, data_dir: str = "./data",
         category=cfg.category, data_dir=data_dir,
         num_points=int(cfg.num_points or 2048),
     )
+    launch.maybe_initialize_distributed()
+    num_shards, shard_id = launch.host_shard()
     mesh = get_mesh()
     spec = BatchSpec(int(cfg.batch_size), shuffle=True,
-                     seed=int(cfg.manual_seed or 1))
-    val_spec = BatchSpec(int(cfg.batch_size), shuffle=False)
+                     seed=int(cfg.manual_seed or 1),
+                     num_shards=num_shards, shard_id=shard_id)
+    val_spec = BatchSpec(int(cfg.batch_size), shuffle=False,
+                         num_shards=num_shards, shard_id=shard_id)
 
     model = get_model(cfg.model_name, cfg)
     b0 = next(dataset.batches(spec))
@@ -397,35 +455,62 @@ def train_registration(cfg: Config, log_dir: str, data_dir: str = "./data",
         lr, float(cfg.lr_decay_rate or 0.5), float(cfg.lr_clip or 0.0)
     )
 
+    print_every = int(cfg.step_interval_to_print or 100)
+    timer = profiling.StepTimer()
+    alpha1 = jnp.asarray(1.0)
+
     history = {"val": []}
     for epoch in range(int(cfg.start_epoch or 0), int(cfg.nepoch)):
         context.opt_state = optim_util.set_learning_rate(context.opt_state, lr)
-        for i, batch in enumerate(dataset.batches(spec, epoch)):
-            if max_steps_per_epoch and i >= max_steps_per_epoch:
-                break
-            rng, step_rng = jax.random.split(rng)
-            sharded = shard_batch(
-                mesh, batch, exclude=("count", "match_level", "rot_level")
-            )
-            (context.params, context.batch_stats, context.opt_state, aux) = (
-                train_step(
-                    context.params, context.batch_stats, context.opt_state,
-                    {k: sharded[k] for k in ("src", "tgt", "transform")},
-                    jnp.asarray(1.0), step_rng,
-                )
-            )
-            guard.check(float(aux["total_loss"]),
-                        f"registration epoch {epoch} step {i}")
-            if i % int(cfg.step_interval_to_print or 100) == 0:
-                logger.info(
-                    "train [%d: %d] total_loss: %.4f rot: %.4f trans: %.4f "
-                    "rmse: %.4f mse: %.4f lr: %f",
-                    epoch, i, float(aux["total_loss"]), float(aux["r_err"]),
-                    float(aux["t_err"]), float(aux["rmse"]), float(aux["mse"]),
-                    lr,
-                )
 
-        if epoch % int(cfg.epoch_interval_to_save or 1) == 0:
+        # Interval-synced metering: see train_completion for rationale.
+        pending = []
+        t_flush = time.perf_counter()
+
+        def flush():
+            nonlocal t_flush
+            if not pending:
+                return
+            dt = time.perf_counter() - t_flush
+            sps = len(pending) / dt if dt > 0 else 0.0
+            for j, dev in pending:
+                loss = float(dev["total_loss"])
+                guard.check(loss, f"registration epoch {epoch} step {j}")
+                if j % print_every == 0:
+                    logger.info(
+                        "train [%d: %d] total_loss: %.4f rot: %.4f "
+                        "trans: %.4f rmse: %.4f mse: %.4f lr: %f steps/s: %.2f",
+                        epoch, j, loss, float(dev["r_err"]),
+                        float(dev["t_err"]), float(dev["rmse"]),
+                        float(dev["mse"]), lr, sps,
+                    )
+            pending.clear()
+            t_flush = time.perf_counter()
+
+        place = functools.partial(
+            shard_batch, mesh, exclude=("count", "match_level", "rot_level")
+        )
+        with DevicePrefetcher(dataset.batches(spec, epoch), place) as pf, \
+                profiling.trace(cfg.profile_dir if epoch == int(cfg.start_epoch or 0) else None):
+            for i, sharded in enumerate(pf):
+                if max_steps_per_epoch and i >= max_steps_per_epoch:
+                    break
+                rng, step_rng = jax.random.split(rng)
+                with timer:
+                    (context.params, context.batch_stats, context.opt_state,
+                     aux) = train_step(
+                        context.params, context.batch_stats,
+                        context.opt_state,
+                        {k: sharded[k] for k in ("src", "tgt", "transform")},
+                        alpha1, step_rng,
+                    )
+                pending.append((i, aux))
+                if len(pending) >= print_every:
+                    flush()
+        flush()
+
+        if (epoch % int(cfg.epoch_interval_to_save or 1) == 0
+                and launch.is_primary()):
             ckpt.save_model(os.path.join(log_dir, "network.pkl"),
                             context.variables, context.opt_state)
 

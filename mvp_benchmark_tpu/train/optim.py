@@ -73,9 +73,17 @@ def epoch_lr(cfg: Config, epoch: int) -> float:
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Update the injected hyperparameter in-place-of (new pytree)."""
-    opt_state.hyperparams["learning_rate"] = lr
-    return opt_state
+    """Return a new opt_state with the injected LR hyperparameter replaced.
+
+    Rebuilds the InjectHyperparamsState instead of mutating ``hyperparams``
+    in place — in-place mutation aliases device buffers and breaks silently
+    once the state is donated to the jitted step.
+    """
+    import jax.numpy as jnp
+
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state._replace(hyperparams=hp)
 
 
 def alpha_for_epoch(cfg: Config, epoch: int):

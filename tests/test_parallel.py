@@ -122,3 +122,84 @@ def test_prefetcher_roundtrip(eight_devices):
     raw = list(ds.batches(BatchSpec(8)))
     for b, r in zip(got, raw):
         assert b["src"].shape == r["src"].shape
+
+
+def test_multihost_shards_partition_dataset():
+    """BatchSpec(num_shards, shard_id): shards are disjoint, their union is
+    the dataset, and shuffled order is consistent across shards (multi-host
+    dataset sharding — the reference has no equivalent; parallel/launch.py)."""
+    from mvp_benchmark_tpu.data.mvp import BatchSpec, MVPCompletionDataset
+
+    ds = MVPCompletionDataset("train", data_dir="/nonexistent",
+                              num_points=64, synthetic_size=52)
+    n_shards = 2
+    seen = []
+    steps = []
+    for sid in range(n_shards):
+        spec = BatchSpec(4, shuffle=True, seed=7, num_shards=n_shards,
+                         shard_id=sid)
+        ids = []
+        count = 0
+        for batch in ds.batches(spec, epoch=3):
+            c = int(batch["count"])
+            # identify samples by their content hash
+            for row in np.asarray(batch["inputs"])[:c]:
+                ids.append(row.tobytes())
+            count += 1
+        assert count == ds.steps_per_epoch(spec)
+        steps.append(count)
+        seen.append(set(ids))
+    assert seen[0].isdisjoint(seen[1])
+    assert len(seen[0] | seen[1]) == 52
+    assert abs(steps[0] - steps[1]) <= 1
+
+
+def test_engine_uses_host_shards(monkeypatch, tmp_path):
+    """train_completion picks up (process_count, process_index) for its
+    BatchSpec and gates checkpoints on the primary process."""
+    from mvp_benchmark_tpu.data import mvp as mvp_mod
+    from mvp_benchmark_tpu.parallel import launch
+    from mvp_benchmark_tpu.train import engine
+    from mvp_benchmark_tpu.train.config import Config
+
+    monkeypatch.setattr(launch, "host_shard", lambda: (2, 1))
+    monkeypatch.setattr(launch, "is_primary", lambda: False)
+
+    captured = {}
+    orig = mvp_mod._BatchedDataset.batches
+
+    def spy(self, spec, epoch=0):
+        captured["spec"] = spec
+        return orig(self, spec, epoch)
+
+    monkeypatch.setattr(mvp_mod._BatchedDataset, "batches", spy)
+
+    cfg = Config(model_name="pcn", num_points=64, loss="cd", eval_emd=False,
+                 lr=1e-4, optimizer="Adam", betas="0.9, 0.999",
+                 weight_decay=0, num_coarse=32, batch_size=4, nepoch=1,
+                 manual_seed=1, step_interval_to_print=2,
+                 epoch_interval_to_save=1, epoch_interval_to_val=5)
+    engine.train_completion(cfg, str(tmp_path), data_dir="/nonexistent",
+                            max_steps_per_epoch=2)
+    assert captured["spec"].num_shards == 2
+    assert captured["spec"].shard_id == 1
+    # non-primary process must not write epoch checkpoints
+    assert not (tmp_path / "network.pkl").exists()
+
+
+def test_prefetcher_sentinel_not_dropped_when_queue_full():
+    """End-of-stream must be delivered even when the consumer lags (the
+    sentinel used to be dropped if the queue was full at iterator
+    exhaustion, deadlocking the consumer)."""
+    import time
+
+    from mvp_benchmark_tpu.data.prefetch import DevicePrefetcher
+
+    def gen():
+        for i in range(3):
+            yield {"x": np.full((2,), i, np.float32)}
+
+    with DevicePrefetcher(gen(), place=lambda b: b, depth=1) as pf:
+        time.sleep(0.5)      # let the worker fill the queue and finish
+        items = list(pf)     # must terminate
+    assert len(items) == 3
