@@ -31,10 +31,17 @@ TARGET = 3 * A100_EST_POINTS_PER_SEC
 
 NUM_POINTS = 2048
 WARMUP = 3
-STEPS = 10
+STEPS = 30
+
+# Peak MXU throughput used for the MFU denominator. The bench chip is a
+# TPU v5e (v5litepod) core: 197 TFLOP/s bf16 — the precision every matmul
+# in the model actually runs at (XLA DEFAULT rounds matmul inputs to bf16).
+PEAK_FLOPS_BF16 = 197e12
 
 
 def build(batch_size):
+    import os
+
     from mvp_benchmark_tpu.models import get_model
     from mvp_benchmark_tpu.train import engine
     from mvp_benchmark_tpu.train.config import Config
@@ -46,7 +53,11 @@ def build(batch_size):
         distribution_loss="KLD", pk=10, local_folding=True,
         points_label=True, num_coarse_raw=1024, num_fps=2048,
         num_coarse=2048, batch_size=batch_size, manual_seed=1,
+        # bf16 activations (fp32 params/optimizer/coordinate heads) is the
+        # TPU-native training mode; BENCH_DTYPE=float32 for the ablation.
+        compute_dtype=os.environ.get("BENCH_DTYPE", "bf16"),
     )
+    engine.apply_compute_dtype(cfg)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((batch_size, NUM_POINTS, 3), np.float32))
     gt = jnp.asarray(rng.random((batch_size, NUM_POINTS, 3), np.float32))
@@ -57,11 +68,28 @@ def build(batch_size):
     return step, ctx, {"inputs": x, "gt": gt}
 
 
+def step_flops(step, ctx, batch, alpha):
+    """Analytic FLOPs/step from XLA's compiled cost analysis (lower bound:
+    Pallas custom-call kernels are not counted by XLA)."""
+    try:
+        lowered = step.lower(
+            ctx.params, ctx.batch_stats, ctx.opt_state, dict(batch), alpha,
+            jax.random.PRNGKey(0),
+        )
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
 def run(batch_size):
     step, ctx, batch = build(batch_size)
     params, bs, opt = ctx.params, ctx.batch_stats, ctx.opt_state
     rng = jax.random.PRNGKey(0)
     alpha = jnp.asarray(0.5)
+    flops = step_flops(step, ctx, batch, alpha)
 
     for _ in range(WARMUP):
         rng, r = jax.random.split(rng)
@@ -77,7 +105,7 @@ def run(batch_size):
         float(aux["total_loss"])
     dt = time.perf_counter() - t0
     steps_per_sec = STEPS / dt
-    return steps_per_sec
+    return steps_per_sec, flops
 
 
 def main():
@@ -85,13 +113,18 @@ def main():
     err = None
     for batch_size in (32, 16, 8):
         try:
-            sps = run(batch_size)
+            sps, flops = run(batch_size)
             pps = sps * batch_size * NUM_POINTS / n_chips
+            # MFU: XLA-counted matmul/conv flops per step (excludes Pallas
+            # custom calls -> a lower bound) over the bf16 MXU peak.
+            mfu = sps * flops / (PEAK_FLOPS_BF16 * n_chips)
             print(json.dumps({
                 "metric": "vrcnet_train_points_per_sec_per_chip",
                 "value": round(pps, 1),
                 "unit": f"points/sec/chip (bs={batch_size}, n={NUM_POINTS})",
                 "vs_baseline": round(pps / TARGET, 4),
+                "mfu": round(mfu, 4),
+                "ms_per_step": round(1e3 / sps, 1),
             }))
             return
         except Exception as e:  # OOM etc. -> retry smaller batch

@@ -69,7 +69,7 @@ class MultiHeadedAttention(nn.Module):
         q = proj(query, "q")
         k = proj(key, "k")
         v = proj(value, "v")
-        x, _ = layers.attention(q, k, v, mask=mask)
+        x = layers.mha_attention(q, k, v, mask=mask)
         x = x.transpose(0, 2, 1, 3).reshape(B, -1, self.h * d_k)
         return layers.TorchDense(self.d_model)(x)
 

@@ -143,7 +143,7 @@ class ECGDecoder(nn.Module):
 
         h = nn.relu(layers.TorchDense(1024)(global_feat))
         h = nn.relu(layers.TorchDense(1024)(h))
-        coarse = layers.TorchDense(self.num_coarse * 3)(h)
+        coarse = layers.TorchDense(self.num_coarse * 3, dtype=jnp.float32)(h)
         coarse = coarse.reshape(B, self.num_coarse, 3)
 
         points = jnp.concatenate([coarse, point_input], axis=1)
@@ -157,7 +157,7 @@ class ECGDecoder(nn.Module):
                 input_size=256, output_size=64, step_ratio=scale, k=4
             )(dense_feat)
         feat = nn.relu(layers.TorchDense(64)(dense_feat))
-        fine = layers.TorchDense(3)(feat)
+        fine = layers.TorchDense(3, dtype=jnp.float32)(feat)
 
         num_out = fine.shape[1]
         if num_out > self.num_fine:

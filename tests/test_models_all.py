@@ -125,3 +125,113 @@ def test_registration_model_smoke(name):
         atol=1e-4,
     )
     np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-4)
+
+
+def test_vrcnet_mmd_distribution_loss():
+    """MMD branch (reference vrcnet.py:495-501) trains with finite loss."""
+    cfg = Config(**{**COMPLETION_CFGS["vrcnet"], "distribution_loss": "MMD"})
+    model = get_model("vrcnet", cfg)
+    x, gt = jnp.asarray(_clouds(3)), jnp.asarray(_clouds(4))
+    ctx = engine.create_context(cfg, model, (x, gt))
+    step = engine.make_train_step(model, ctx.tx, "completion")
+    params, bs, opt = ctx.params, ctx.batch_stats, ctx.opt_state
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(2):
+        rng, r = jax.random.split(rng)
+        params, bs, opt, aux = step(params, bs, opt, {"inputs": x, "gt": gt},
+                                    jnp.asarray(0.5), r)
+        losses.append(float(aux["total_loss"]))
+    assert all(np.isfinite(losses)), losses
+
+
+def test_vrcnet_mmd_loss_properties():
+    """mmd_loss(x, x) == 0 and mmd_loss(x, y) > 0 for separated batches."""
+    from mvp_benchmark_tpu.models.vrcnet import mmd_loss
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32) + 5.0)
+    assert abs(float(mmd_loss(x, x))) < 1e-6
+    assert float(mmd_loss(x, y)) > 0.1
+
+
+def test_fpfh_descriptor_properties():
+    """FPFH: shape (B,N,33), finite, non-negative; a planar patch's normals
+    align with the plane normal; descriptors are translation invariant."""
+    from mvp_benchmark_tpu.models import fpfh
+
+    rng = np.random.default_rng(0)
+    B, N = 2, 64
+    pts = rng.random((B, N, 3)).astype(np.float32) * 0.5
+    pts[..., 2] = 0.0                      # z=0 plane
+    normals = fpfh.estimate_normals(jnp.asarray(pts), radius=0.3, max_nn=16)
+    nz = np.abs(np.asarray(normals)[..., 2])
+    assert (nz > 0.99).mean() > 0.9, "plane normals should be ~z"
+
+    feats = fpfh.fpfh_features(jnp.asarray(pts))
+    f = np.asarray(feats)
+    assert f.shape == (B, N, 33)
+    assert np.isfinite(f).all() and (f >= -1e-5).all()
+
+    # Translation invariance holds up to histogram bin-edge flips (floating
+    # point jitter moves borderline pair angles across bin boundaries):
+    # require bulk agreement, not elementwise equality.
+    shifted = np.asarray(
+        fpfh.fpfh_features(jnp.asarray(pts + np.float32([1., 2., 3.])))
+    )
+    bulk_close = np.abs(shifted - f) < 5.0      # bins live on a 0..100 scale
+    assert bulk_close.mean() > 0.95, bulk_close.mean()
+
+
+def test_idam_fpfh_branch_trains():
+    """use_fpfh config key builds and runs (reference idam.py:196)."""
+    cfg = Config(model_name="idam", lr=1e-3, optimizer="Adam",
+                 betas="0.9, 0.999", weight_decay=0, descriptor_size=32,
+                 num_iters=2, use_fpfh=True)
+    model = get_model("idam", cfg)
+    rng = np.random.default_rng(5)
+    src = jnp.asarray(rng.random((B, N, 3), dtype=np.float64).astype(np.float32))
+    tgt = src + 0.01
+    T = jnp.broadcast_to(jnp.eye(4), (B, 4, 4))
+    ctx = engine.create_context(cfg, model, (src, tgt, T))
+    step = engine.make_train_step(model, ctx.tx, "registration")
+    params, bs, opt = ctx.params, ctx.batch_stats, ctx.opt_state
+    params, bs, opt, aux = step(
+        params, bs, opt, {"src": src, "tgt": tgt, "transform": T},
+        jnp.asarray(1.0), jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(float(aux["total_loss"]))
+
+
+def test_pcn_bf16_mode_parity():
+    """bf16 activation mode (fp32 params + coordinate heads): loss curve
+    tracks the fp32 run closely over a few steps."""
+    from mvp_benchmark_tpu.models import layers as L
+
+    def train_losses(dtype):
+        L.set_compute_dtype(dtype)
+        try:
+            cfg = COMPLETION_CFGS["pcn"]
+            model = get_model("pcn", cfg)
+            x, gt = jnp.asarray(_clouds(1)), jnp.asarray(_clouds(2))
+            ctx = engine.create_context(cfg, model, (x, gt))
+            step = engine.make_train_step(model, ctx.tx, "completion")
+            params, bs, opt = ctx.params, ctx.batch_stats, ctx.opt_state
+            rng = jax.random.PRNGKey(0)
+            out = []
+            for _ in range(4):
+                rng, r = jax.random.split(rng)
+                params, bs, opt, aux = step(
+                    params, bs, opt, {"inputs": x, "gt": gt},
+                    jnp.asarray(0.5), r)
+                out.append(float(aux["total_loss"]))
+            return np.asarray(out)
+        finally:
+            L.set_compute_dtype(jnp.float32)
+
+    f32 = train_losses(jnp.float32)
+    b16 = train_losses(jnp.bfloat16)
+    assert np.isfinite(b16).all()
+    # Same trajectory within bf16 resolution-driven drift.
+    np.testing.assert_allclose(b16, f32, rtol=0.05)
