@@ -55,9 +55,13 @@ class SAModule(nn.Module):
 
     @nn.compact
     def __call__(self, x, idx):
+        rel, mid, share, k = (
+            self.rel_planes, self.mid_planes, self.share_planes, self.k
+        )
+        ms = mid // share
         identity = x
         h = nn.relu(x)
-        x1 = layers.TorchDense(self.rel_planes)(h)         # (B, N, rel)
+        x1 = layers.TorchDense(rel)(h)                     # (B, N, rel)
         # 1x1 convs commute with the neighbour gather: project to the small
         # rel/mid widths FIRST, then gather ONE concatenated (rel+mid)-dim
         # tensor — identical math/params to Dense(grouping(h)) with
@@ -65,26 +69,45 @@ class SAModule(nn.Module):
         # row overhead (the gathers dominate the profile otherwise).
         proj = jnp.concatenate(
             [
-                layers.TorchDense(self.rel_planes)(h),
-                layers.TorchDense(self.mid_planes)(h),
+                layers.TorchDense(rel)(h),
+                layers.TorchDense(mid)(h),
             ],
             axis=-1,
         )
-        pn = ops.grouping_operation(proj, idx)             # (B, N, k, rel+mid)
-        x2 = pn[..., : self.rel_planes]
-        x3 = pn[..., self.rel_planes:]
+        # w-MLP parameters (reference vrcnet.py:36-41: Dense(ms, no bias),
+        # Dense(k*ms)) owned directly so the fused TPU kernel and the XLA
+        # fallback share them.
+        W1 = self.param("w_mlp1", layers.torch_linear_init,
+                        ((1 + k) * rel, ms))
+        W2 = self.param("w_mlp2", layers.torch_linear_init, (ms, k * ms))
+        b_bound = 1.0 / math.sqrt(ms)
+        b2 = self.param(
+            "w_mlp2_bias",
+            lambda key, s: jax.random.uniform(
+                key, s, jnp.float32, -b_bound, b_bound
+            ),
+            (k * ms,),
+        )
 
         B, N = h.shape[:2]
-        x2 = x2.reshape(B, N, self.k * self.rel_planes)
-        w = jnp.concatenate([x1, x2], axis=-1)
-        w = nn.relu(w)
-        w = layers.TorchDense(self.mid_planes // self.share_planes,
-                              use_bias=False)(w)
-        w = nn.relu(w)
-        w = layers.TorchDense(self.k * self.mid_planes // self.share_planes)(w)
-        w = w.reshape(B, N, self.k, self.mid_planes // self.share_planes)
-        w = jnp.tile(w, (1, 1, 1, self.share_planes))
-        out = jnp.sum(w * x3, axis=2)                      # (B, N, mid)
+        if ops.sa_attention_supported(N):
+            # Fused Pallas block: per-slot one-hot gathers from the
+            # VMEM-resident projection table + w-MLP + weighted reduction;
+            # only (B, N, mid) reaches HBM (ops/pallas_kernels.sa_attention).
+            idx_jm = jnp.swapaxes(idx, 1, 2)               # (B, k, N)
+            out = ops.sa_attention(
+                proj, x1, idx_jm, W1, W2, b2, rel, mid, share
+            )
+        else:
+            pn = ops.grouping_operation(proj, idx)         # (B, N, k, C)
+            x2 = pn[..., :rel].reshape(B, N, k * rel)
+            x3 = pn[..., rel:]
+            w = nn.relu(jnp.concatenate([x1, x2], axis=-1))
+            u = nn.relu(jnp.dot(w, W1, preferred_element_type=jnp.float32))
+            w = jnp.dot(u, W2, preferred_element_type=jnp.float32) + b2
+            w = w.reshape(B, N, k, ms)
+            w = jnp.tile(w, (1, 1, 1, share))
+            out = jnp.sum(w * x3, axis=2)                  # (B, N, mid)
         out = nn.relu(out)
         out = layers.TorchDense(self.out_planes)(out)
         return out + identity

@@ -17,7 +17,7 @@ file:line citations).
 """
 
 from mvp_benchmark_tpu.ops.jnp_ref import (
-    ball_query,
+    ball_query as ball_query_ref,
     chamfer_distance as chamfer_distance_ref,
     emd_auction,
     furthest_point_sample as furthest_point_sample_ref,
@@ -34,12 +34,16 @@ from mvp_benchmark_tpu.ops.jnp_ref import (
 )
 
 from mvp_benchmark_tpu.ops.dispatch import (
+    ball_query,
     chamfer_distance,
     furthest_point_sample,
     gather_points,
     grouping_operation,
+    grouping_split,
     knn_indices,
     knn_points,
+    sa_attention,
+    sa_attention_supported,
     three_interpolate,
     three_nn,
     three_nn_upsampling,
@@ -53,6 +57,7 @@ from mvp_benchmark_tpu.ops.grouping import (
 
 __all__ = [
     "ball_query",
+    "ball_query_ref",
     "chamfer_distance",
     "chamfer_distance_ref",
     "emd_auction",
@@ -61,9 +66,12 @@ __all__ = [
     "furthest_point_sample_with_dist",
     "gather_points",
     "grouping_operation",
+    "grouping_split",
     "knn_indices",
     "knn_points",
     "knn_query",
+    "sa_attention",
+    "sa_attention_supported",
     "square_distance",
     "three_interpolate",
     "three_nn",

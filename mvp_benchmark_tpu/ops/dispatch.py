@@ -91,6 +91,34 @@ def three_nn(target, source):
     return jnp_ref.three_nn(target, source)
 
 
+def ball_query(min_radius, max_radius, nsample, xyz, centers):
+    """Fixed-size radius query, first-hit-fill (see jnp_ref.ball_query).
+    The jnp path sorts a (B, M, N) int key matrix in HBM; the Pallas kernel
+    streams distance tiles in VMEM (ECG uniform-loss hot path)."""
+    if _on_tpu() and _lane_aligned(xyz.shape[1]):
+        from mvp_benchmark_tpu.ops import pallas_kernels
+
+        return pallas_kernels.ball_query(
+            min_radius, max_radius, nsample, xyz, centers
+        )
+    return jnp_ref.ball_query(min_radius, max_radius, nsample, xyz, centers)
+
+
+def sa_attention_supported(n_points: int) -> bool:
+    """True when the fused SA kernel can run (TPU + point count tiled by
+    the kernel's TM and lane-aligned)."""
+    return _on_tpu() and n_points % 128 == 0 and n_points >= 256
+
+
+def sa_attention(proj, x1, idx_jm, W1, W2, b2, rel, mid, share):
+    """Fused SA-module aggregation (see pallas_kernels.sa_attention)."""
+    from mvp_benchmark_tpu.ops import pallas_kernels
+
+    return pallas_kernels.sa_attention(
+        proj, x1, idx_jm, W1, W2, b2, rel, mid, share
+    )
+
+
 def grouping_operation(features, idx):
     """Group rows by (B, M, K) index (see jnp_ref.grouping_operation). On TPU
     the backward runs as an MXU one-hot matmul instead of XLA's row-at-a-time
@@ -100,6 +128,19 @@ def grouping_operation(features, idx):
 
         return pallas_kernels.grouping_operation(features, idx)
     return jnp_ref.grouping_operation(features, idx)
+
+
+def grouping_split(features, idx, c1):
+    """grouping_operation + channel split [0:c1]/[c1:] fused in one kernel
+    (the SA module's rel/mid split — see pallas_kernels.grouping_split)."""
+    if _on_tpu():
+        from mvp_benchmark_tpu.ops import pallas_kernels
+
+        B, N, C = features.shape
+        if pallas_kernels._scatter_fits(N, C):
+            return pallas_kernels.grouping_split(features, idx, c1)
+    g = jnp_ref.grouping_operation(features, idx)
+    return g[..., :c1], g[..., c1:]
 
 
 def gather_points(features, idx):

@@ -14,7 +14,12 @@ from typing import List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 
 from mvp_benchmark_tpu.ops import jnp_ref
-from mvp_benchmark_tpu.ops.dispatch import furthest_point_sample, knn_points
+from mvp_benchmark_tpu.ops.dispatch import (
+    ball_query,
+    furthest_point_sample,
+    grouping_operation,
+    knn_points,
+)
 
 
 @dataclasses.dataclass
@@ -44,17 +49,17 @@ class QueryAndGroup:
         if self.max_radius is None:
             _, idx = knn_points(center_xyz, points_xyz, self.sample_num)
         else:
-            idx = jnp_ref.ball_query(
+            idx = ball_query(
                 self.min_radius, self.max_radius, self.sample_num,
                 points_xyz, center_xyz,
             )
-        grouped_xyz = jnp_ref.grouping_operation(points_xyz, idx)  # (B,M,K,3)
+        grouped_xyz = grouping_operation(points_xyz, idx)  # (B,M,K,3)
         grouped_xyz = grouped_xyz - center_xyz[:, :, None, :]
         if self.normalize_xyz:
             grouped_xyz = grouped_xyz / self.max_radius
 
         if features is not None:
-            grouped_features = jnp_ref.grouping_operation(features, idx)
+            grouped_features = grouping_operation(features, idx)
             if self.use_xyz:
                 new_features = jnp.concatenate([grouped_xyz, grouped_features], -1)
             else:

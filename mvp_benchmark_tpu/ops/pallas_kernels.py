@@ -146,7 +146,8 @@ def _chamfer_fwd(a, b):
 
 def _chamfer_bwd(res, g):
     """CUDA-equivalent backward (chamfer3D.cu:155-174): +-2 g (p - q) routed
-    through the argmin pairs, scatter-add on the opposite cloud."""
+    through the argmin pairs, scatter-add on the opposite cloud (via the MXU
+    one-hot kernel; bf16x2 keeps the CD gradient parity bar)."""
     a, b, i1, i2 = res
     g1, g2, _, _ = g
     b_sel = jnp.take_along_axis(b, i1[..., None], axis=1)
@@ -154,9 +155,8 @@ def _chamfer_bwd(res, g):
     diff1 = 2.0 * g1[..., None] * (a - b_sel)        # (B, N, 3)
     diff2 = 2.0 * g2[..., None] * (b - a_sel)        # (B, M, 3)
 
-    scatter = jax.vmap(lambda acc, idx, upd: acc.at[idx].add(upd))
-    da = diff1 + scatter(jnp.zeros_like(a), i2, -diff2)
-    db = diff2 + scatter(jnp.zeros_like(b), i1, -diff1)
+    da = diff1 - scatter_add_rows(diff2, i2, a.shape[1], exact=True)
+    db = diff2 - scatter_add_rows(diff1, i1, b.shape[1], exact=True)
     return da, db
 
 
@@ -297,8 +297,10 @@ def _knn_kernel(q_ref, p_ref, idx_ref, dist_ref, *, k):
 
 def _knn_tile(m: int) -> int:
     # The (1, k, TM) output block requires TM to be a multiple of 128 or to
-    # span the whole M dimension.
-    for tm in (256, 128):
+    # span the whole M dimension. TM=128 measured 1.65x faster than 256 at
+    # (B64, N3072, k16) — the (TM, N) key+distance working set stays inside
+    # the VMEM pipelining sweet spot.
+    for tm in (128, 256):
         if m % tm == 0:
             return tm
     return m
@@ -375,6 +377,409 @@ def knn_indices(points: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Fused SA-module attention aggregation
+# ---------------------------------------------------------------------------
+#
+# VRCNet's SA module (reference completion/models/vrcnet.py:21-57) is the
+# profile's hot block: gather k neighbour projections per point, run a tiny
+# two-layer MLP on the flattened rel-features to produce per-edge weights,
+# and reduce a weighted sum over the neighbours. The XLA formulation
+# materializes (B, N, k, rel+mid) in HBM plus layout copies for the rel/mid
+# split, the (B, N, k*rel) flatten, the share-tile broadcast and the
+# multiply-reduce — and its backward scatters (B*N*k) rows.
+#
+# This kernel runs the whole block per (batch, point-tile): per-slot one-hot
+# gathers straight from the VMEM-resident projection table, the w-MLP on
+# registers, and the weighted reduction — fwd emits ONLY (B, N, mid); the
+# custom-VJP backward recomputes the cheap intermediates and emits d_table
+# via one-hot-transpose matmuls plus the (tiny) MLP parameter grads.
+
+_SA_TM = 128
+
+
+def _sa_expand(w_small, mid, ms):
+    """(TM, ms) -> (TM, mid): channel c takes w[:, c % ms] (the torch
+    jnp.tile(w, share) layout), as an MXU matmul with a 0/1 matrix."""
+    row = lax.broadcasted_iota(jnp.int32, (ms, mid), 0)
+    colc = lax.broadcasted_iota(jnp.int32, (ms, mid), 1)
+    F = (colc % ms == row).astype(jnp.float32)
+    return jax.lax.dot_general(
+        w_small, F, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _sa_fold(d_full, mid, ms):
+    """(TM, mid) -> (TM, ms): d[:, q] = sum_{c: c%ms==q} d_full[:, c]."""
+    row = lax.broadcasted_iota(jnp.int32, (mid, ms), 0)
+    colc = lax.broadcasted_iota(jnp.int32, (mid, ms), 1)
+    F = (row % ms == colc).astype(jnp.float32)
+    return jax.lax.dot_general(
+        d_full, F, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _sa_forward_core(idx_ref, x1_ref, t_ref, W1_ref, W2_ref, b2_ref,
+                     m, *, rel, mid, share, k, tm):
+    """Shared fwd recompute: returns (gs, x2f, w_in, u, w)."""
+    n = t_ref.shape[1]
+    ms = mid // share
+    tbl = t_ref[0].astype(jnp.bfloat16)                     # (N, rel+mid)
+    col = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
+
+    gs = []
+    for j in range(k):
+        ii = idx_ref[0, j, pl.ds(m * tm, tm)]               # (TM,)
+        oh = (col == ii[:, None]).astype(jnp.bfloat16)
+        gs.append(jnp.dot(oh, tbl, preferred_element_type=jnp.float32))
+
+    x2f = jnp.concatenate([g[:, :rel] for g in gs], axis=1)  # (TM, k*rel)
+    x1t = x1_ref[0].astype(jnp.float32)                      # (TM, rel)
+    cat = jnp.concatenate([x1t, x2f], axis=1)                # (TM, (1+k)rel)
+    w_in = jnp.maximum(cat, 0.0)
+    u_pre = jnp.dot(
+        w_in.astype(jnp.bfloat16), W1_ref[:].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    u = jnp.maximum(u_pre, 0.0)                              # (TM, ms)
+    w = jnp.dot(
+        u.astype(jnp.bfloat16), W2_ref[:].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[0].astype(jnp.float32)                        # (TM, k*ms)
+    return gs, cat, w_in, u, w
+
+
+def _sa_fwd_kernel(idx_ref, x1_ref, t_ref, W1_ref, W2_ref, b2_ref, out_ref,
+                   *, rel, mid, share, k, tm, gsave_ref=None):
+    m = pl.program_id(1)
+    ms = mid // share
+    gs, _, _, _, w = _sa_forward_core(
+        idx_ref, x1_ref, t_ref, W1_ref, W2_ref, b2_ref, m,
+        rel=rel, mid=mid, share=share, k=k, tm=tm,
+    )
+    acc = jnp.zeros((tm, mid), jnp.float32)
+    for j in range(k):
+        wj = _sa_expand(w[:, j * ms:(j + 1) * ms], mid, ms)  # (TM, mid)
+        acc += wj * gs[j][:, rel:]
+        if gsave_ref is not None:
+            # Stash the gathered projections (bf16) so the backward skips
+            # the gather recompute — the one-hot matmuls are the dominant
+            # cost and running them twice made the bwd slower than XLA's.
+            gsave_ref[0, j] = gs[j].astype(jnp.bfloat16)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _sa_fwd_save_kernel(idx_ref, x1_ref, t_ref, W1_ref, W2_ref, b2_ref,
+                        out_ref, gsave_ref, *, rel, mid, share, k, tm):
+    _sa_fwd_kernel(idx_ref, x1_ref, t_ref, W1_ref, W2_ref, b2_ref, out_ref,
+                   rel=rel, mid=mid, share=share, k=k, tm=tm,
+                   gsave_ref=gsave_ref)
+
+
+def _sa_bwd_kernel(idx_ref, x1_ref, g_ref, W1_ref, W2_ref, b2_ref, dout_ref,
+                   dt_ref, dx1_ref, dW1_ref, dW2_ref, db2_ref,
+                   *, rel, mid, share, k, tm):
+    m = pl.program_id(1)
+    b = pl.program_id(0)
+    n = dt_ref.shape[1]
+    ms = mid // share
+    # Gathered projections come from the forward's stash (bf16) — only the
+    # tiny MLP is recomputed here.
+    gs = [g_ref[0, j].astype(jnp.float32) for j in range(k)]
+    x2f = jnp.concatenate([g[:, :rel] for g in gs], axis=1)
+    x1t = x1_ref[0].astype(jnp.float32)
+    cat = jnp.concatenate([x1t, x2f], axis=1)
+    w_in = jnp.maximum(cat, 0.0)
+    u = jnp.maximum(
+        jnp.dot(w_in.astype(jnp.bfloat16), W1_ref[:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32), 0.0)
+    w = jnp.dot(u.astype(jnp.bfloat16), W2_ref[:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32) + b2_ref[:].astype(
+        jnp.float32)
+    d_out = dout_ref[0].astype(jnp.float32)                  # (TM, mid)
+
+    d_w_parts = []
+    d_gmid = []
+    for j in range(k):
+        gj_mid = gs[j][:, rel:]
+        d_w_parts.append(_sa_fold(d_out * gj_mid, mid, ms))  # (TM, ms)
+        wj = _sa_expand(w[:, j * ms:(j + 1) * ms], mid, ms)
+        d_gmid.append(wj * d_out)                            # (TM, mid)
+    d_w = jnp.concatenate(d_w_parts, axis=1)                 # (TM, k*ms)
+
+    contractT = (((0,), (0,)), ((), ()))
+    # dW2 += u^T d_w ; db2 += sum_rows d_w
+    dW2_tile = lax.dot_general(u, d_w, dimension_numbers=contractT,
+                               preferred_element_type=jnp.float32)
+    db2_tile = jnp.sum(d_w, axis=0, keepdims=True)
+    d_u = jnp.dot(d_w.astype(jnp.bfloat16),
+                  W2_ref[:].astype(jnp.bfloat16).T,
+                  preferred_element_type=jnp.float32)
+    d_u = jnp.where(u > 0.0, d_u, 0.0)
+    dW1_tile = lax.dot_general(w_in, d_u, dimension_numbers=contractT,
+                               preferred_element_type=jnp.float32)
+    d_win = jnp.dot(d_u.astype(jnp.bfloat16),
+                    W1_ref[:].astype(jnp.bfloat16).T,
+                    preferred_element_type=jnp.float32)
+    d_cat = jnp.where(cat > 0.0, d_win, 0.0)                 # relu'
+    dx1_ref[0] = d_cat[:, :rel].astype(dx1_ref.dtype)
+    d_x2f = d_cat[:, rel:]
+
+    # d_table += sum_j oh_j^T [d_x2f_j | d_gmid_j]
+    col = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
+    dt_acc = jnp.zeros((n, rel + mid), jnp.float32)
+    for j in range(k):
+        ii = idx_ref[0, j, pl.ds(m * tm, tm)]
+        oh = (col == ii[:, None]).astype(jnp.bfloat16)
+        d_gj = jnp.concatenate(
+            [d_x2f[:, j * rel:(j + 1) * rel], d_gmid[j]], axis=1
+        ).astype(jnp.bfloat16)                               # (TM, rel+mid)
+        dt_acc += lax.dot_general(oh, d_gj, dimension_numbers=contractT,
+                                  preferred_element_type=jnp.float32)
+
+    @pl.when(m == 0)
+    def _():
+        dt_ref[0] = jnp.zeros_like(dt_ref[0])
+
+    dt_ref[0] += dt_acc
+
+    @pl.when((m == 0) & (b == 0))
+    def _():
+        dW1_ref[:] = jnp.zeros_like(dW1_ref[:])
+        dW2_ref[:] = jnp.zeros_like(dW2_ref[:])
+        db2_ref[:] = jnp.zeros_like(db2_ref[:])
+
+    dW1_ref[:] += dW1_tile
+    dW2_ref[:] += dW2_tile
+    db2_ref[:] += db2_tile
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def sa_attention(proj, x1, idx_jm, W1, W2, b2, rel, mid, share):
+    """Fused SA neighbour aggregation (semantics == the XLA block in
+    models/vrcnet.py SAModule between the projection Denses and the output
+    Dense). proj: (B, N, rel+mid), x1: (B, N, rel), idx_jm: (B, k, N)
+    neighbour indices (slot-major), W1: ((1+k)rel, mid/share) [no bias],
+    W2: (mid/share, k*mid/share), b2: (k*mid/share,). Returns (B, N, mid).
+    """
+    return _sa_primal(proj, x1, idx_jm, W1, W2, b2, rel, mid, share)
+
+
+def _sa_in_specs(k, N, C, tm, rel, w2_cols):
+    return [
+        pl.BlockSpec((1, k, N), lambda b, m: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tm, rel), lambda b, m: (b, m, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N, C), lambda b, m: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, w2_cols), lambda b, m: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _sa_primal(proj, x1, idx_jm, W1, W2, b2, rel, mid, share):
+    """Forward-only (no residual stash) — used outside differentiation."""
+    B, N, C = proj.shape
+    k = idx_jm.shape[1]
+    tm = _SA_TM
+    assert N % tm == 0, (N, tm)
+    return pl.pallas_call(
+        functools.partial(_sa_fwd_kernel, rel=rel, mid=mid, share=share,
+                          k=k, tm=tm),
+        grid=(B, N // tm),
+        in_specs=_sa_in_specs(k, N, C, tm, rel, W2.shape[1]),
+        out_specs=pl.BlockSpec((1, tm, mid), lambda b, m: (b, m, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, mid), proj.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * k * N * max(C, 128),
+            bytes_accessed=B * N * (C + rel + mid) * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(idx_jm.astype(jnp.int32), x1, proj, W1, W2, b2.reshape(1, -1))
+
+
+def _sa_fwd(proj, x1, idx_jm, W1, W2, b2, rel, mid, share):
+    B, N, C = proj.shape
+    k = idx_jm.shape[1]
+    tm = _SA_TM
+    assert N % tm == 0, (N, tm)
+    out, gsave = pl.pallas_call(
+        functools.partial(_sa_fwd_save_kernel, rel=rel, mid=mid, share=share,
+                          k=k, tm=tm),
+        grid=(B, N // tm),
+        in_specs=_sa_in_specs(k, N, C, tm, rel, W2.shape[1]),
+        out_specs=[
+            pl.BlockSpec((1, tm, mid), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, tm, C), lambda b, m: (b, 0, m, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, mid), proj.dtype),
+            jax.ShapeDtypeStruct((B, k, N, C), jnp.bfloat16),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * k * N * max(C, 128),
+            bytes_accessed=B * N * (C + rel + mid + 2 * k * C) * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(idx_jm.astype(jnp.int32), x1, proj, W1, W2, b2.reshape(1, -1))
+    return out, (proj, gsave, x1, idx_jm, W1, W2, b2)
+
+
+def _sa_bwd(rel, mid, share, res, d_out):
+    proj, gsave, x1, idx_jm, W1, W2, b2 = res
+    B, N, C = proj.shape
+    k = idx_jm.shape[1]
+    tm = _SA_TM
+    dt, dx1, dW1, dW2, db2 = pl.pallas_call(
+        functools.partial(_sa_bwd_kernel, rel=rel, mid=mid, share=share,
+                          k=k, tm=tm),
+        grid=(B, N // tm),
+        in_specs=[
+            pl.BlockSpec((1, k, N), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, rel), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, tm, C), lambda b, m: (b, 0, m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W2.shape[1]), lambda b, m: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, mid), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, N, C), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, rel), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(W1.shape, lambda b, m: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(W2.shape, lambda b, m: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W2.shape[1]), lambda b, m: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, rel), jnp.float32),
+            jax.ShapeDtypeStruct(W1.shape, jnp.float32),
+            jax.ShapeDtypeStruct(W2.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, W2.shape[1]), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * N * k * N * max(C, 128),
+            bytes_accessed=B * N * (2 * C + rel + mid) * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(idx_jm.astype(jnp.int32), x1, gsave, W1, W2, b2.reshape(1, -1), d_out)
+    return (
+        dt.astype(proj.dtype), dx1.astype(x1.dtype), _float0_like(idx_jm),
+        dW1.astype(W1.dtype), dW2.astype(W2.dtype),
+        db2.reshape(b2.shape).astype(b2.dtype),
+    )
+
+
+sa_attention.defvjp(
+    lambda proj, x1, idx_jm, W1, W2, b2, rel, mid, share: _sa_fwd(
+        proj, x1, idx_jm, W1, W2, b2, rel, mid, share
+    ),
+    _sa_bwd,
+)
+
+
+# ---------------------------------------------------------------------------
+# Ball query
+# ---------------------------------------------------------------------------
+
+
+def _ball_query_kernel(xyz_ref, ctr_ref, idx_ref, *, nsample, min_r, max_r):
+    """Grid=(B, M/TM). One (TM, N) squared-distance tile in VMEM; the first
+    ``nsample`` in-ball indices per center are extracted in ascending index
+    order by repeated min sweeps over an index key (valid -> column index,
+    invalid -> N). Reproduces the CUDA streaming first-hit scan semantics
+    (reference utils/mm3d_pn2/ops/ball_query/src/ball_query_cuda.cu:12-54):
+    slots fill in ascending index order, unfilled slots repeat the FIRST
+    hit, a center with zero hits keeps an all-zero row. Distances use exact
+    per-coordinate differences, so the kernel's ``d2 == 0`` acceptance
+    matches the CUDA test exactly (no matmul-expansion round-off).
+    """
+    tm = ctr_ref.shape[1]
+    n = xyz_ref.shape[1]
+
+    d = jnp.zeros((tm, n), jnp.float32)
+    for c in range(3):
+        diff = ctr_ref[0, :, c][:, None] - xyz_ref[0, :, c][None, :]
+        d += diff * diff
+
+    valid = (d == 0.0) | ((d >= min_r * min_r) & (d < max_r * max_r))
+    col = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
+    key = jnp.where(valid, col, n)                        # (TM, N)
+
+    first = jnp.min(key, axis=1)                          # (TM,)
+    has_hit = first < n
+    fill = jnp.where(has_hit, first, 0).astype(jnp.int32)
+
+    for j in range(nsample):
+        kmin = jnp.min(key, axis=1)                       # (TM,)
+        hit = kmin < n
+        idx_ref[0, j, :] = jnp.where(hit, kmin, fill).astype(jnp.int32)
+        key = jnp.where(key == kmin[:, None], n, key)
+
+
+def ball_query(
+    min_radius: float,
+    max_radius: float,
+    nsample: int,
+    xyz: jnp.ndarray,
+    centers: jnp.ndarray,
+) -> jnp.ndarray:
+    """Drop-in for jnp_ref.ball_query (idx (B, M, nsample) int32). The jnp
+    path runs lax.top_k over a (B, M, N) int key matrix in HBM; this keeps
+    the distance tile in VMEM (ECG's get_uniform_loss hot path)."""
+    B, N, _ = xyz.shape
+    M = centers.shape[1]
+    TM = _knn_tile(M)
+
+    idx = pl.pallas_call(
+        functools.partial(
+            _ball_query_kernel, nsample=nsample,
+            min_r=float(min_radius), max_r=float(max_radius),
+        ),
+        grid=(B, M // TM),
+        in_specs=[
+            pl.BlockSpec((1, N, 3), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TM, 3), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nsample, TM), lambda bi, i: (bi, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nsample, M), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=B * M * N * (9 + 3 * nsample),
+            bytes_accessed=B * ((N + M) * 12 + M * nsample * 4),
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(
+        lax.stop_gradient(xyz).astype(jnp.float32),
+        lax.stop_gradient(centers).astype(jnp.float32),
+    )
+    return lax.stop_gradient(jnp.swapaxes(idx, 1, 2))
+
+
+# ---------------------------------------------------------------------------
 # Scatter-add rows (the gather backward) on the MXU
 # ---------------------------------------------------------------------------
 #
@@ -395,17 +800,22 @@ _SCATTER_TM = 512
 _SCATTER_VMEM_LIMIT = 4 * 1024 * 1024  # max f32 bytes for the (N, C) block
 
 
-def _scatter_rows_kernel(idx_ref, ghi_ref, glo_ref, out_ref, *, tm, exact):
+def _scatter_rows_kernel(idx_ref, g_ref, out_ref, *, tm, exact):
     m = pl.program_id(1)
     n = out_ref.shape[1]
     ii = idx_ref[0, 0, pl.ds(m * tm, tm)]                  # (TM,)
     col = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
     oh = (col == ii[:, None]).astype(jnp.bfloat16)          # (TM, N)
     contract = (((0,), (0,)), ((), ()))
-    acc = lax.dot_general(oh, ghi_ref[0], dimension_numbers=contract,
+    # Cast in VMEM (fused with the tile load) — a host-graph astype would
+    # round-trip the full cotangent tensor through HBM.
+    g = g_ref[0]
+    ghi = g.astype(jnp.bfloat16)
+    acc = lax.dot_general(oh, ghi, dimension_numbers=contract,
                           preferred_element_type=jnp.float32)
     if exact:
-        acc = acc + lax.dot_general(oh, glo_ref[0], dimension_numbers=contract,
+        glo = (g - ghi.astype(g.dtype)).astype(jnp.bfloat16)
+        acc = acc + lax.dot_general(oh, glo, dimension_numbers=contract,
                                     preferred_element_type=jnp.float32)
 
     @pl.when(m == 0)
@@ -442,19 +852,12 @@ def scatter_add_rows(
             [grads, jnp.zeros((B, pad, C), grads.dtype)], axis=1
         )
     Mp = M + pad
-    ghi = grads.astype(jnp.bfloat16)
-    glo = (
-        (grads - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
-        if exact else ghi
-    )
 
     out = pl.pallas_call(
         functools.partial(_scatter_rows_kernel, tm=tm, exact=exact),
         grid=(B, Mp // tm),
         in_specs=[
             pl.BlockSpec((1, 1, Mp), lambda b, m: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm, C), lambda b, m: (b, m, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tm, C), lambda b, m: (b, m, 0),
                          memory_space=pltpu.VMEM),
@@ -468,7 +871,7 @@ def scatter_add_rows(
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(idx.astype(jnp.int32).reshape(B, 1, Mp), ghi, glo)
+    )(idx.astype(jnp.int32).reshape(B, 1, Mp), grads)
     return out
 
 
@@ -496,7 +899,11 @@ def _gather_rows_kernel(idx_ref, t_ref, o_ref, *, tm):
     ii = idx_ref[0, 0, pl.ds(m * tm, tm)]                   # (TM,)
     col = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
     oh = (col == ii[:, None]).astype(jnp.bfloat16)
-    o_ref[0] = jnp.dot(oh, t_ref[0], preferred_element_type=jnp.float32)
+    # Table cast happens in VMEM (no HBM astype round-trip).
+    t = t_ref[0].astype(jnp.bfloat16)
+    o_ref[0] = jnp.dot(
+        oh, t, preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
 
 
 def _gather_rows_onehot(features: jnp.ndarray, flat_idx: jnp.ndarray):
@@ -528,14 +935,14 @@ def _gather_rows_onehot(features: jnp.ndarray, flat_idx: jnp.ndarray):
         ],
         out_specs=pl.BlockSpec((1, tm, C), lambda b, m: (b, m, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Mp, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Mp, C), features.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * Mp * N * max(C, 128),
             bytes_accessed=B * (Mp * C * 4 + N * C * 2 + Mp * 4),
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(flat_idx.reshape(B, 1, Mp), features.astype(jnp.bfloat16))
+    )(flat_idx.reshape(B, 1, Mp), features)
     return out[:, :M] if pad else out
 
 
@@ -578,6 +985,92 @@ def _gather_rows_bwd(approx, res, g):
 
 
 gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
+def _gather_split_kernel(idx_ref, t_ref, o1_ref, o2_ref, *, tm, c1):
+    m = pl.program_id(1)
+    n = t_ref.shape[1]
+    ii = idx_ref[0, 0, pl.ds(m * tm, tm)]                   # (TM,)
+    col = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
+    oh = (col == ii[:, None]).astype(jnp.bfloat16)
+    t = t_ref[0].astype(jnp.bfloat16)
+    g = jnp.dot(oh, t, preferred_element_type=jnp.float32)
+    # The split happens on register values — an XLA-side lane slice of the
+    # gathered tensor costs a full (B, N, k, C) relayout copy instead.
+    o1_ref[0] = g[:, :c1].astype(o1_ref.dtype)
+    o2_ref[0] = g[:, c1:].astype(o2_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def grouping_split(features: jnp.ndarray, idx: jnp.ndarray, c1: int):
+    """Gather rows and split channels [0:c1] / [c1:] in one kernel.
+
+    features: (B, N, C), idx: (B, M, K) -> ((B, M, K, c1), (B, M, K, C-c1)).
+
+    Equivalent to slicing ``grouping_operation``'s output, but the two
+    outputs are written directly from the one-hot matmul's registers — the
+    SA-module's rel/mid split (reference completion/models/vrcnet.py:21-57)
+    otherwise pays two full lane-slice copies per level. bf16-table approx
+    forward + MXU scatter backward like ``gather_rows(approx=True)``.
+    """
+    B, N, C = features.shape
+    flat = idx.reshape(B, -1).astype(jnp.int32)
+    M = flat.shape[1]
+    tm = _SCATTER_TM
+    pad = (-M) % tm
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((B, pad), jnp.int32)], axis=1
+        )
+    Mp = M + pad
+    o1, o2 = pl.pallas_call(
+        functools.partial(_gather_split_kernel, tm=tm, c1=c1),
+        grid=(B, Mp // tm),
+        in_specs=[
+            pl.BlockSpec((1, 1, Mp), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, C), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tm, c1), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, C - c1), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Mp, c1), features.dtype),
+            jax.ShapeDtypeStruct((B, Mp, C - c1), features.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Mp * N * max(C, 128),
+            bytes_accessed=B * (Mp * C * 4 + N * C * 2 + Mp * 4),
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(flat.reshape(B, 1, Mp), features)
+    shp = idx.shape
+    return o1[:, :M].reshape(shp + (c1,)), o2[:, :M].reshape(shp + (C - c1,))
+
+
+def _grouping_split_fwd(features, idx, c1):
+    return grouping_split(features, idx, c1), (features.shape, idx)
+
+
+def _grouping_split_bwd(c1, res, gs):
+    (B, N, C), idx = res
+    g1, g2 = gs
+    flat = idx.reshape(B, -1).astype(jnp.int32)
+    g = jnp.concatenate(
+        [g1.reshape(B, -1, c1), g2.reshape(B, -1, C - c1)], axis=-1
+    )
+    d_feat = scatter_add_rows(
+        g.astype(jnp.float32), flat, N, exact=GATHER_BWD_EXACT
+    )
+    return d_feat.astype(g1.dtype), _float0_like(idx)
+
+
+grouping_split.defvjp(_grouping_split_fwd, _grouping_split_bwd)
 
 
 def _approx_default(C: int) -> bool:

@@ -163,3 +163,90 @@ def test_three_interpolate_mxu_backward(rng):
     g_ref = jax.grad(lambda f: jnp.sum(jnp_ref.three_interpolate(f, idx, w) ** 2))(feats)
     np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_ball_query_pallas_matches_reference(rng):
+    B, N, M, ns = 2, 256, 64, 12
+    xyz = jnp.asarray(rng.random((B, N, 3), dtype=np.float64).astype(np.float32))
+    # centers drawn FROM the cloud so the d2 == 0 acceptance path triggers
+    centers = xyz[:, :M, :]
+    for min_r, max_r in ((0.0, 0.2), (0.05, 0.25)):
+        out = pallas_kernels.ball_query(min_r, max_r, ns, xyz, centers)
+        ref = jnp_ref.ball_query(min_r, max_r, ns, xyz, centers)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_grouping_split_matches_slices(rng):
+    B, N, C, M, K, c1 = 2, 64, 20, 48, 6, 4
+    feats = jnp.asarray(rng.random((B, N, C), dtype=np.float64).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, N, (B, M, K)), jnp.int32)
+    o1, o2 = pallas_kernels.grouping_split(feats, idx, c1)
+    ref = jnp_ref.grouping_operation(feats, idx)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(ref[..., :c1]),
+                               rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(ref[..., c1:]),
+                               rtol=1e-2, atol=1e-2)
+
+    w1 = jnp.asarray(rng.random((B, M, K, c1)).astype(np.float32))
+    w2 = jnp.asarray(rng.random((B, M, K, C - c1)).astype(np.float32))
+
+    def loss_new(f):
+        a, b = pallas_kernels.grouping_split(f, idx, c1)
+        return jnp.sum(a * w1) + jnp.sum(b * w2)
+
+    def loss_ref(f):
+        g = jnp_ref.grouping_operation(f, idx)
+        return jnp.sum(g[..., :c1] * w1) + jnp.sum(g[..., c1:] * w2)
+
+    g_new = jax.grad(loss_new)(feats)
+    g_ref = jax.grad(loss_ref)(feats)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_sa_attention_matches_xla_block(rng):
+    """Fused SA kernel (interpret mode) vs the XLA fallback formulation."""
+    B, N, k = 2, 256, 8
+    rel, mid, share = 4, 16, 8
+    ms = mid // share
+    feats = jnp.asarray(rng.random((B, N, rel + mid)).astype(np.float32)) - .5
+    x1 = jnp.asarray(rng.random((B, N, rel)).astype(np.float32)) - .5
+    idx = jnp.asarray(rng.integers(0, N, (B, N, k)), jnp.int32)
+    W1 = jnp.asarray(rng.random(((1 + k) * rel, ms)).astype(np.float32)) - .5
+    W2 = jnp.asarray(rng.random((ms, k * ms)).astype(np.float32)) - .5
+    b2 = jnp.asarray(rng.random((k * ms,)).astype(np.float32)) - .5
+
+    def xla_block(feats, x1, W1, W2, b2):
+        pn = jnp_ref.grouping_operation(feats, idx)
+        x2 = pn[..., :rel].reshape(B, N, k * rel)
+        x3 = pn[..., rel:]
+        w = jnp.maximum(jnp.concatenate([x1, x2], axis=-1), 0.0)
+        u = jnp.maximum(w @ W1, 0.0)
+        w = u @ W2 + b2
+        w = jnp.tile(w.reshape(B, N, k, ms), (1, 1, 1, share))
+        return jnp.sum(w * x3, axis=2)
+
+    out = pallas_kernels.sa_attention(
+        feats, x1, jnp.swapaxes(idx, 1, 2), W1, W2, b2, rel, mid, share)
+    ref = xla_block(feats, x1, W1, W2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+    # gradients of a scalar loss w.r.t. every differentiable input
+    def loss_fused(feats, x1, W1, W2, b2):
+        return jnp.sum(pallas_kernels.sa_attention(
+            feats, x1, jnp.swapaxes(idx, 1, 2), W1, W2, b2,
+            rel, mid, share) ** 2)
+
+    def loss_ref(feats, x1, W1, W2, b2):
+        return jnp.sum(xla_block(feats, x1, W1, W2, b2) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(feats, x1, W1, W2, b2)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(feats, x1, W1, W2, b2)
+    for a, b, name in zip(gf, gr, ["d_proj", "d_x1", "dW1", "dW2", "db2"]):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.maximum(np.abs(b).max(), 1.0)
+        # bf16-rounded preactivations can flip relu masks right at 0 for a
+        # handful of elements; require bulk agreement, not elementwise.
+        close = np.abs(a - b) / scale < 2e-2
+        assert close.mean() > 0.995, (name, close.mean())
