@@ -204,18 +204,24 @@ class Model(nn.Module):
         loss = 0.0
 
         for i in range(self.num_iters):
-            # (B, M, M, 2*emb) stacked features + distance augmentation
-            se = jnp.broadcast_to(
-                src_embedding[:, :, None, :], (B, M, M, self.emb_dims)
-            )
-            te = jnp.broadcast_to(
-                tgt_embedding[:, None, :, :], (B, M, M, self.emb_dims)
-            )
+            # Similarity-matrix conv over virtually-concatenated
+            # [src_emb_i, tgt_emb_j, dist_ij, dir_ij] features: the first
+            # 1x1 conv distributes over the concat, so the projections run
+            # on the (B, M, emb) embeddings and only broadcast-ADD at
+            # (B, M, M, 32) — the reference materializes the full
+            # (B, M, M, 2*emb+4) stack (idam.py:267-279; ~2 GB/iter at
+            # reference scale).
             diff = src[:, :, None, :] - tgt[:, None, :, :]
             dist = jnp.sqrt(jnp.sum(diff**2, axis=-1, keepdims=True))
             diff = diff / (dist + 1e-8)
-            sim = jnp.concatenate([se, te, dist, diff], axis=-1)
-            sim = ConvBlock((32, 32))(sim, train)                # per-iter params
+            dd = jnp.concatenate([dist, diff], axis=-1)          # (B,M,M,4)
+            sim = layers.DenseCat(32, use_bias=False)(
+                src_embedding[:, :, None, :],
+                tgt_embedding[:, None, :, :],
+                dd,
+            )
+            sim = nn.relu(layers.BatchNorm()(sim, train))
+            sim = ConvBlock((32,))(sim, train)                   # per-iter params
 
             weights = jnp.max(sim, axis=2)                       # (B, M, 32)
             weights = ConvBlock((32, 1))(weights, train).squeeze(-1)

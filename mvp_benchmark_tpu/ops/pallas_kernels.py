@@ -377,6 +377,156 @@ def knn_indices(points: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Fused three_interpolate
+# ---------------------------------------------------------------------------
+#
+# out[n] = sum_l w[n, l] * table[idx[n, l]] — instead of gathering
+# (B, N, 3, C) and reducing, fold the weights into the one-hot:
+# ohw[n, m] = sum_l [idx[n, l] == m] * w[n, l], then out = ohw @ table.
+# One MXU matmul with N rows (not 3N), no (B, N, 3, C) intermediate.
+
+_TI_TM = 256
+
+
+def _ti_build_ohw(idx_ref, w_ref, m, n_src, tm):
+    col = lax.broadcasted_iota(jnp.int32, (tm, n_src), 1)
+    ohw = jnp.zeros((tm, n_src), jnp.float32)
+    for l in range(3):
+        ii = idx_ref[0, l, pl.ds(m * tm, tm)]               # (TM,)
+        wl = w_ref[0, l, pl.ds(m * tm, tm)]                 # (TM,)
+        ohw += jnp.where(col == ii[:, None], wl[:, None], 0.0)
+    return ohw
+
+
+def _ti_fwd_kernel(idx_ref, w_ref, t_ref, o_ref, *, tm):
+    m = pl.program_id(1)
+    n_src = t_ref.shape[1]
+    ohw = _ti_build_ohw(idx_ref, w_ref, m, n_src, tm).astype(jnp.bfloat16)
+    t = t_ref[0].astype(jnp.bfloat16)
+    o_ref[0] = jnp.dot(
+        ohw, t, preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _ti_bwd_kernel(idx_ref, w_ref, t_ref, g_ref, dt_ref, dw_ref, *, tm):
+    m = pl.program_id(1)
+    n_src = t_ref.shape[1]
+    ohw = _ti_build_ohw(idx_ref, w_ref, m, n_src, tm).astype(jnp.bfloat16)
+    g = g_ref[0].astype(jnp.bfloat16)                       # (TM, C)
+    # d_table += ohw^T @ g  (accumulated over the sequential N tiles)
+    acc = lax.dot_general(ohw, g, dimension_numbers=(((0,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(m == 0)
+    def _():
+        dt_ref[0] = jnp.zeros_like(dt_ref[0])
+
+    dt_ref[0] += acc
+
+    # d_w[n, l] = <g[n], table[idx[n, l]]> : score matrix then masked reduce.
+    S = lax.dot_general(
+        g, t_ref[0].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                        # (TM, M_src)
+    col = lax.broadcasted_iota(jnp.int32, (tm, n_src), 1)
+    for l in range(3):
+        ii = idx_ref[0, l, pl.ds(m * tm, tm)]
+        dw_l = jnp.sum(jnp.where(col == ii[:, None], S, 0.0), axis=1)
+        dw_ref[0, l, pl.ds(m * tm, tm)] = dw_l
+
+
+@jax.custom_vjp
+def three_interpolate_fused(features, idx, weight):
+    """Fused weighted 3-NN interpolation (semantics ==
+    jnp_ref.three_interpolate; reference
+    utils/mm3d_pn2/ops/interpolate/three_interpolate_cuda.cu). Requires the
+    target count N % 256 == 0 — dispatch guards."""
+    return _ti_forward(features, idx, weight)
+
+
+def _ti_forward(features, idx, weight):
+    B, Msrc, C = features.shape
+    N = idx.shape[1]
+    tm = _TI_TM
+    idx_lm = jnp.swapaxes(idx, 1, 2).astype(jnp.int32)      # (B, 3, N)
+    w_lm = jnp.swapaxes(weight, 1, 2)                       # (B, 3, N)
+    out = pl.pallas_call(
+        functools.partial(_ti_fwd_kernel, tm=tm),
+        grid=(B, N // tm),
+        in_specs=[
+            pl.BlockSpec((1, 3, N), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, N), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Msrc, C), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tm, C), lambda b, m: (b, m, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), features.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * Msrc * max(C, 128),
+            bytes_accessed=B * (N * C * 4 + Msrc * C * 4 + N * 32),
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(idx_lm, w_lm, features)
+    return out
+
+
+def _ti_fwd_rule(features, idx, weight):
+    return _ti_forward(features, idx, weight), (features, idx, weight)
+
+
+def _ti_bwd_rule(res, g):
+    features, idx, weight = res
+    B, Msrc, C = features.shape
+    N = idx.shape[1]
+    tm = _TI_TM
+    idx_lm = jnp.swapaxes(idx, 1, 2).astype(jnp.int32)
+    w_lm = jnp.swapaxes(weight, 1, 2)
+    dt, dw_lm = pl.pallas_call(
+        functools.partial(_ti_bwd_kernel, tm=tm),
+        grid=(B, N // tm),
+        in_specs=[
+            pl.BlockSpec((1, 3, N), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, N), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Msrc, C), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, C), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Msrc, C), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, N), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Msrc, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3, N), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * N * Msrc * max(C, 128),
+            bytes_accessed=B * (N * C * 8 + Msrc * C * 8),
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(idx_lm, w_lm, features, g)
+    return (
+        dt.astype(features.dtype),
+        _float0_like(idx),
+        jnp.swapaxes(dw_lm, 1, 2).astype(weight.dtype),
+    )
+
+
+three_interpolate_fused.defvjp(_ti_fwd_rule, _ti_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
 # Fused SA-module attention aggregation
 # ---------------------------------------------------------------------------
 #
@@ -1101,7 +1251,10 @@ def three_interpolate(
 ) -> jnp.ndarray:
     """Drop-in for jnp_ref.three_interpolate with the MXU scatter backward."""
     B, M, C = features.shape
+    N = idx.shape[1]
     if not _scatter_fits(M, C):
         return jnp_ref.three_interpolate(features, idx, weight)
+    if N % _TI_TM == 0:
+        return three_interpolate_fused(features, idx, weight)
     gathered = gather_rows(features, idx, _approx_default(C))  # (B, N, 3, C)
     return jnp.sum(gathered * weight[..., None], axis=2)

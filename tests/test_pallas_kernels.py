@@ -250,3 +250,26 @@ def test_sa_attention_matches_xla_block(rng):
         # handful of elements; require bulk agreement, not elementwise.
         close = np.abs(a - b) / scale < 2e-2
         assert close.mean() > 0.995, (name, close.mean())
+
+
+def test_three_interpolate_fused_matches_reference(rng):
+    B, Msrc, C, N = 2, 40, 16, 256        # N % 256 == 0 -> fused kernel
+    feats = jnp.asarray(rng.random((B, Msrc, C), dtype=np.float64).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, Msrc, (B, N, 3)), jnp.int32)
+    w = jnp.asarray(rng.random((B, N, 3), dtype=np.float64).astype(np.float32))
+
+    out = pallas_kernels.three_interpolate_fused(feats, idx, w)
+    ref = jnp_ref.three_interpolate(feats, idx, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+    g_new = jax.grad(
+        lambda f, ww: jnp.sum(
+            pallas_kernels.three_interpolate_fused(f, idx, ww) ** 2),
+        argnums=(0, 1))(feats, w)
+    g_ref = jax.grad(
+        lambda f, ww: jnp.sum(jnp_ref.three_interpolate(f, idx, ww) ** 2),
+        argnums=(0, 1))(feats, w)
+    for a, b, name in zip(g_new, g_ref, ["d_features", "d_weight"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-2, atol=3e-2, err_msg=name)
