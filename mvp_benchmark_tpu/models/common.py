@@ -32,8 +32,9 @@ def edge_preserve_sampling(
 
     pk = min(k, N)
     _, pn_idx = ops.knn_points(point_output, points, pk)
-    neighbor = ops.grouping_operation(features, pn_idx)     # (B, M, pk, C)
-    neighbor = jnp.max(neighbor, axis=2)
+    # fused gather+max: the (B, M, pk, C) neighbourhood tensor stays in
+    # kernel registers (ops.group_max)
+    neighbor = ops.group_max(features, pn_idx)
     center = ops.gather_points(features, p_idx)
     net = jnp.concatenate([center, neighbor], axis=-1)
     return net, p_idx, pn_idx, point_output

@@ -468,7 +468,18 @@ class Model(nn.Module):
         if train:
             # Dual path: reconstruction on FPS-resampled gt + completion on x
             # (vrcnet.py:450-454) — batch doubles.
-            y = ops.gather_points(gt, ops.furthest_point_sample(gt, num_input))
+            if num_input == gt.shape[1]:
+                # fps(gt, N) with N == |gt| selects EVERY point, so the
+                # reference's resampling is a permutation; the encoder is
+                # permutation-invariant and all losses are CD, so skip the
+                # N-step greedy FPS + gather (~5 ms/step at bench scale).
+                # (Only differs if gt contains exactly-duplicated points,
+                # where the CUDA FPS would emit repeats.)
+                y = gt
+            else:
+                y = ops.gather_points(
+                    gt, ops.furthest_point_sample(gt, num_input)
+                )
             gt = jnp.concatenate([gt, gt], axis=0)
             points = jnp.concatenate([x, y], axis=0)
             x = jnp.concatenate([x, x], axis=0)

@@ -38,6 +38,7 @@ from mvp_benchmark_tpu.ops.dispatch import (
     chamfer_distance,
     furthest_point_sample,
     gather_points,
+    group_max,
     grouping_operation,
     grouping_split,
     knn_indices,
@@ -65,6 +66,7 @@ __all__ = [
     "furthest_point_sample_ref",
     "furthest_point_sample_with_dist",
     "gather_points",
+    "group_max",
     "grouping_operation",
     "grouping_split",
     "knn_indices",

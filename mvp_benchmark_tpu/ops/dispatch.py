@@ -130,6 +130,28 @@ def grouping_operation(features, idx):
     return jnp_ref.grouping_operation(features, idx)
 
 
+def group_max(features, idx):
+    """Gathered-neighbourhood max pool (see pallas_kernels.group_max)."""
+    import jax.numpy as jnp
+
+    if _on_tpu() and _lane_aligned(features.shape[1]) and (
+        idx.shape[1] % 8 == 0
+    ):
+        from mvp_benchmark_tpu.ops import pallas_kernels
+
+        C = features.shape[2]
+        # Awkward lane counts (C>64, not a 128-multiple) hit a Mosaic
+        # compile-time blowup — pad to the lane boundary and slice back
+        # (the pad's vjp handles the cotangent slice).
+        cpad = (-C) % 128 if C > 64 else 0
+        if pallas_kernels._scatter_fits(features.shape[1], C + cpad):
+            if cpad:
+                fp = jnp.pad(features, ((0, 0), (0, 0), (0, cpad)))
+                return pallas_kernels.group_max(fp, idx)[..., :C]
+            return pallas_kernels.group_max(features, idx)
+    return jnp.max(jnp_ref.grouping_operation(features, idx), axis=2)
+
+
 def grouping_split(features, idx, c1):
     """grouping_operation + channel split [0:c1]/[c1:] fused in one kernel
     (the SA module's rel/mid split — see pallas_kernels.grouping_split)."""

@@ -244,30 +244,46 @@ def _knn_kernel(q_ref, p_ref, idx_ref, dist_ref, *, k):
     tie-broken by index. Callers needing exact distances recompute them from
     the gathered neighbours (knn_points / dispatch.three_nn do).
 
-    Distances: exact per-coordinate difference planes for C <= 64 (covers
-    the parity-critical 3D geometric case and the benchmark's feature-space
-    kNN at C in {24, 48}); MXU |q|^2+|p|^2-2qp^T expansion beyond that
-    (bf16-rounded inputs: ~94% neighbour agreement on random features —
-    only reachable via EFExpansion k=4 graph features in >=2x upsample
-    configs).
+    Distances: exact per-coordinate difference planes for C <= 8 (the
+    parity-critical 3D geometric case); MXU expansion with bf16x2-split
+    inner products beyond that (~1e-6 relative -> neighbour selection
+    matches exact; unrolled per-coordinate planes at feature widths blow
+    up Mosaic compile time).
     """
     tm = q_ref.shape[1]
     n = p_ref.shape[1]
     dim = q_ref.shape[2]
 
-    if dim <= 64:
+    if dim <= 8:
+        # Exact per-coordinate difference planes — the geometric (3D) case,
+        # where the parity bar is exact. Only for tiny dims: the unrolled
+        # planes blow up Mosaic compile time at feature widths (a C=24
+        # feature-space kNN made the ECG step compile run tens of minutes).
         d = jnp.zeros((tm, n), jnp.float32)
         for c in range(dim):
             diff = q_ref[0, :, c][:, None] - p_ref[0, :, c][None, :]
             d += diff * diff
     else:
+        # MXU |q|^2 + |p|^2 - 2 q.p expansion with the inner product split
+        # bf16x2 (hi/lo): ~1e-6 relative, so neighbour selection matches the
+        # exact computation (single-bf16 rounding only agreed ~94% on random
+        # features). Norms accumulate exactly on the VPU.
         q = q_ref[0]                                          # (TM, C)
         p = p_ref[0]                                          # (N, C)
         q2 = jnp.sum(q * q, axis=1, keepdims=True)            # (TM, 1)
         p2 = jnp.sum(p * p, axis=1, keepdims=True)            # (N, 1)
-        qp = jax.lax.dot_general(
-            q, p, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        qh = q.astype(jnp.bfloat16)
+        ql = (q - qh.astype(jnp.float32)).astype(jnp.bfloat16)
+        ph = p.astype(jnp.bfloat16)
+        plo = (p - ph.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((1,), (1,)), ((), ()))
+        qp = (
+            jax.lax.dot_general(qh, ph, dimension_numbers=dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(qh, plo, dimension_numbers=dn,
+                                  preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(ql, ph, dimension_numbers=dn,
+                                  preferred_element_type=jnp.float32)
         )
         d = jnp.maximum(q2 + p2.T - 2.0 * qp, 0.0)
 
@@ -374,6 +390,143 @@ def knn_indices(points: jnp.ndarray, k: int) -> jnp.ndarray:
     pts = lax.stop_gradient(points)
     _, idx = knn_pallas(pts, pts, min(k, points.shape[1]))
     return idx
+
+
+# ---------------------------------------------------------------------------
+# Fused gather + max (edge_preserve_sampling's neighbourhood pool)
+# ---------------------------------------------------------------------------
+#
+# neighbor = max_j features[idx[m, j]] — the gathered (B, M, k, C) tensor
+# exists only as kernel registers; the backward routes d_out to the argmax
+# slot per (m, channel) via masked one-hot-transpose matmuls.
+
+_GM_TM = 256
+
+
+def _group_max_fwd_kernel(idx_ref, t_ref, out_ref, slot_ref, *, k, tm):
+    m = pl.program_id(1)
+    n = t_ref.shape[1]
+    single = idx_ref.shape[2] == tm      # one tile: static slice (Mosaic
+    tbl = t_ref[0].astype(jnp.bfloat16)  # needs 128-multiple dyn offsets)
+    col = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
+    acc = None
+    slot = None
+    for j in range(k):
+        ii = idx_ref[0, j, :] if single else idx_ref[0, j, pl.ds(m * tm, tm)]
+        oh = (col == ii[:, None]).astype(jnp.bfloat16)
+        gj = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
+        if acc is None:
+            acc, slot = gj, jnp.zeros(gj.shape, jnp.int32)
+        else:
+            better = gj > acc
+            slot = jnp.where(better, j, slot)
+            acc = jnp.maximum(acc, gj)
+    out_ref[0] = acc.astype(out_ref.dtype)
+    slot_ref[0] = slot
+
+
+def _group_max_bwd_kernel(idx_ref, slot_ref, g_ref, dt_ref, *, k, tm):
+    m = pl.program_id(1)
+    n = dt_ref.shape[1]
+    single = idx_ref.shape[2] == tm
+    col = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
+    g = g_ref[0].astype(jnp.float32)
+    slot = slot_ref[0]
+    acc = jnp.zeros((n, g.shape[1]), jnp.float32)
+    contractT = (((0,), (0,)), ((), ()))
+    for j in range(k):
+        ii = idx_ref[0, j, :] if single else idx_ref[0, j, pl.ds(m * tm, tm)]
+        oh = (col == ii[:, None]).astype(jnp.bfloat16)
+        gj = jnp.where(slot == j, g, 0.0).astype(jnp.bfloat16)
+        acc += lax.dot_general(oh, gj, dimension_numbers=contractT,
+                               preferred_element_type=jnp.float32)
+
+    @pl.when(m == 0)
+    def _():
+        dt_ref[0] = jnp.zeros_like(dt_ref[0])
+
+    dt_ref[0] += acc
+
+
+@jax.custom_vjp
+def group_max(features, idx):
+    """max over gathered neighbours: (B, N, C) x (B, M, k) -> (B, M, C).
+
+    == ``grouping_operation(features, idx).max(axis=2)`` (the
+    edge_preserve_sampling pool, reference completion/model_utils.py:88-110)
+    without the (B, M, k, C) HBM intermediate.
+    """
+    return _group_max_forward(features, idx)[0]
+
+
+def _group_max_forward(features, idx):
+    B, N, C = features.shape
+    M, k = idx.shape[1], idx.shape[2]
+    tm = _GM_TM if M % _GM_TM == 0 else M
+    idx_jm = jnp.swapaxes(idx, 1, 2).astype(jnp.int32)     # (B, k, M)
+    out, slot = pl.pallas_call(
+        functools.partial(_group_max_fwd_kernel, k=k, tm=tm),
+        grid=(B, M // tm),
+        in_specs=[
+            pl.BlockSpec((1, k, M), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, C), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tm, C), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, C), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, M, C), features.dtype),
+            jax.ShapeDtypeStruct((B, M, C), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * M * k * N * max(C, 128),
+            bytes_accessed=B * (M * C * 8 + N * C * 2 + M * k * 4),
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(idx_jm, features)
+    return out, (features.shape, idx_jm, slot)
+
+
+def _group_max_fwd_rule(features, idx):
+    out, res = _group_max_forward(features, idx)
+    return out, res
+
+
+def _group_max_bwd_rule(res, g):
+    (B, N, C), idx_jm, slot = res
+    M, k = idx_jm.shape[2], idx_jm.shape[1]
+    tm = _GM_TM if M % _GM_TM == 0 else M
+    dt = pl.pallas_call(
+        functools.partial(_group_max_bwd_kernel, k=k, tm=tm),
+        grid=(B, M // tm),
+        in_specs=[
+            pl.BlockSpec((1, k, M), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, C), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, C), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, C), lambda b, m: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * M * k * N * max(C, 128),
+            bytes_accessed=B * (M * C * 8 + N * C * 4),
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(idx_jm, slot, g)
+    return dt.astype(g.dtype), _float0_like(idx_jm)
+
+
+group_max.defvjp(_group_max_fwd_rule, _group_max_bwd_rule)
 
 
 # ---------------------------------------------------------------------------
@@ -1066,6 +1219,14 @@ def _gather_rows_onehot(features: jnp.ndarray, flat_idx: jnp.ndarray):
     the gathered values to bf16 anyway (XLA DEFAULT precision).
     """
     B, N, C = features.shape
+    # Mosaic compile time explodes (minutes) for awkward lane counts
+    # (observed: C=120 with a 2-step grid took 230 s; C=128 or C=64 take
+    # <1 s) — pad wide non-multiple-of-128 channel counts up to the next
+    # lane boundary and slice the output.
+    cpad = (-C) % 128 if C > 64 else 0
+    if cpad:
+        features = jnp.pad(features, ((0, 0), (0, 0), (0, cpad)))
+        C = C + cpad
     M = flat_idx.shape[1]
     tm = _SCATTER_TM
     pad = (-M) % tm
@@ -1093,6 +1254,8 @@ def _gather_rows_onehot(features: jnp.ndarray, flat_idx: jnp.ndarray):
         ),
         interpret=_interpret(),
     )(flat_idx.reshape(B, 1, Mp), features)
+    if cpad:
+        out = out[..., : C - cpad]
     return out[:, :M] if pad else out
 
 

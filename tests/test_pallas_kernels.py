@@ -273,3 +273,35 @@ def test_three_interpolate_fused_matches_reference(rng):
     for a, b, name in zip(g_new, g_ref, ["d_features", "d_weight"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-2, atol=3e-2, err_msg=name)
+
+
+def test_group_max_matches_reference(rng):
+    B, N, C, M, k = 2, 64, 16, 48, 8
+    feats = jnp.asarray(rng.random((B, N, C), dtype=np.float64).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, N, (B, M, k)), jnp.int32)
+    out = pallas_kernels.group_max(feats, idx)
+    ref = jnp.max(jnp_ref.grouping_operation(feats, idx), axis=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-2, atol=1e-2)
+
+    g_new = jax.grad(lambda f: jnp.sum(pallas_kernels.group_max(f, idx) ** 2))(feats)
+    g_ref = jax.grad(lambda f: jnp.sum(
+        jnp.max(jnp_ref.grouping_operation(f, idx), axis=2) ** 2))(feats)
+    a, b = np.asarray(g_new), np.asarray(g_ref)
+    scale = np.abs(b).max()
+    # bf16 rounding can flip argmax winners on near-ties (random [0,1)
+    # test values collide often in bf16); bulk agreement.
+    assert (np.abs(a - b) / scale < 2e-2).mean() > 0.97
+
+
+def test_knn_pallas_wide_features(rng):
+    """Feature-space kNN beyond C=64 (the MXU-expansion path, bf16x2 inner
+    products): neighbour indices match the exact reference."""
+    from mvp_benchmark_tpu.ops import pallas_kernels as pk
+
+    q = rng.standard_normal((2, 64, 96)).astype(np.float32)
+    p = rng.standard_normal((2, 128, 96)).astype(np.float32)
+    _, idx = pk.knn_pallas(jnp.asarray(q), jnp.asarray(p), 4)
+    _, ref = jnp_ref.knn_points(jnp.asarray(q), jnp.asarray(p), 4)
+    agree = (np.asarray(idx) == np.asarray(ref)).mean()
+    assert agree > 0.999, agree
