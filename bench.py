@@ -100,9 +100,12 @@ def run(batch_size):
     for _ in range(STEPS):
         rng, r = jax.random.split(rng)
         params, bs, opt, aux = step(params, bs, opt, dict(batch), alpha, r)
-        # Per-step host sync: block_until_ready on the final value alone
-        # under-reports on the remote-tunnel backend.
-        float(aux["total_loss"])
+    # One full host sync at the end: step i+1 consumes step i's params, so
+    # the final loss transitively forces every step. (block_until_ready is
+    # not a true sync through the remote tunnel, but a scalar device->host
+    # pull is; a per-step pull would add a tunnel round-trip per step —
+    # ~100 ms of pure latency on fast models.)
+    float(aux["total_loss"])
     dt = time.perf_counter() - t0
     steps_per_sec = STEPS / dt
     return steps_per_sec, flops

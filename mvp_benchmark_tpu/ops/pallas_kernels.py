@@ -146,8 +146,9 @@ def _chamfer_fwd(a, b):
 
 def _chamfer_bwd(res, g):
     """CUDA-equivalent backward (chamfer3D.cu:155-174): +-2 g (p - q) routed
-    through the argmin pairs, scatter-add on the opposite cloud (via the MXU
-    one-hot kernel; bf16x2 keeps the CD gradient parity bar)."""
+    through the argmin pairs, scatter-add on the opposite cloud. XLA's
+    scatter stays: the MXU one-hot variant at C=3 produced 3-lane matmul
+    outputs that REGRESSED PCN's step 3x (38 -> 115 ms)."""
     a, b, i1, i2 = res
     g1, g2, _, _ = g
     b_sel = jnp.take_along_axis(b, i1[..., None], axis=1)
@@ -155,8 +156,9 @@ def _chamfer_bwd(res, g):
     diff1 = 2.0 * g1[..., None] * (a - b_sel)        # (B, N, 3)
     diff2 = 2.0 * g2[..., None] * (b - a_sel)        # (B, M, 3)
 
-    da = diff1 - scatter_add_rows(diff2, i2, a.shape[1], exact=True)
-    db = diff2 - scatter_add_rows(diff1, i1, b.shape[1], exact=True)
+    scatter = jax.vmap(lambda acc, idx, upd: acc.at[idx].add(upd))
+    da = diff1 + scatter(jnp.zeros_like(a), i2, -diff2)
+    db = diff2 + scatter(jnp.zeros_like(b), i1, -diff1)
     return da, db
 
 
@@ -1289,10 +1291,19 @@ def _gather_rows_fwd(features, idx, approx):
 def _gather_rows_bwd(approx, res, g):
     (B, N, C), idx = res
     flat = idx.reshape(B, -1).astype(jnp.int32)
-    d_feat = scatter_add_rows(
-        g.astype(jnp.float32).reshape(B, -1, C), flat, N,
-        exact=GATHER_BWD_EXACT,
-    )
+    if C <= 8:
+        # Narrow channels: the one-hot matmul emits <=8-lane outputs, which
+        # Mosaic handles poorly (3-lane chamfer scatters regressed PCN 3x);
+        # XLA's row scatter is cheap at these widths.
+        gf = g.reshape(B, -1, C)
+        d_feat = jax.vmap(lambda acc, i, upd: acc.at[i].add(upd))(
+            jnp.zeros((B, N, C), gf.dtype), flat, gf
+        )
+    else:
+        d_feat = scatter_add_rows(
+            g.astype(jnp.float32).reshape(B, -1, C), flat, N,
+            exact=GATHER_BWD_EXACT,
+        )
     # The gather preserves dtype, so g.dtype == features.dtype.
     return d_feat.astype(g.dtype), _float0_like(idx)
 

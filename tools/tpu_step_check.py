@@ -76,11 +76,13 @@ def check(name: str, batch_size: int = 32):
     compile_s = time.time() - t0
 
     t0 = time.time()
-    steps = 5
+    steps = 10
     for _ in range(steps):
         key, k = jax.random.split(key)
         params, bs, opt, aux = step(params, bs, opt, batch, jnp.asarray(0.5), k)
-    jax.block_until_ready(aux["total_loss"])
+    # Chained steps: one scalar pull at the end forces the whole sequence
+    # (block_until_ready is not a true sync through the remote tunnel).
+    float(aux["total_loss"])
     dt = (time.time() - t0) / steps
     print(
         f"RESULT {name} bs={batch_size}: loss={loss:.4f} "
