@@ -53,6 +53,10 @@ def check(name: str, batch_size: int = 32):
     rng = np.random.default_rng(0)
     kind = "completion" if name in COMPLETION else "registration"
     cfg = (COMPLETION.get(name) or REGISTRATION.get(name))
+    import os as _os
+    if _os.environ.get("BENCH_DTYPE"):
+        cfg = Config(**{**cfg, "compute_dtype": _os.environ["BENCH_DTYPE"]})
+    engine.apply_compute_dtype(cfg)
     model = get_model(name, cfg)
     if kind == "completion":
         x = jnp.asarray(rng.random((batch_size, N, 3), np.float32))
