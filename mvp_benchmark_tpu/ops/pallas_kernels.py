@@ -886,11 +886,17 @@ def _sa_in_specs(k, N, C, tm, rel, w2_cols):
     ]
 
 
+def _sa_tm(N):
+    # 256 measured ~3% faster than 128 at L1 scale; fall back for levels
+    # whose point count only divides 128 (e.g. N=384).
+    return 256 if N % 256 == 0 else _SA_TM
+
+
 def _sa_primal(proj, x1, idx_jm, W1, W2, b2, rel, mid, share):
     """Forward-only (no residual stash) — used outside differentiation."""
     B, N, C = proj.shape
     k = idx_jm.shape[1]
-    tm = _SA_TM
+    tm = _sa_tm(N)
     assert N % tm == 0, (N, tm)
     return pl.pallas_call(
         functools.partial(_sa_fwd_kernel, rel=rel, mid=mid, share=share,
@@ -912,7 +918,7 @@ def _sa_primal(proj, x1, idx_jm, W1, W2, b2, rel, mid, share):
 def _sa_fwd(proj, x1, idx_jm, W1, W2, b2, rel, mid, share):
     B, N, C = proj.shape
     k = idx_jm.shape[1]
-    tm = _SA_TM
+    tm = _sa_tm(N)
     assert N % tm == 0, (N, tm)
     out, gsave = pl.pallas_call(
         functools.partial(_sa_fwd_save_kernel, rel=rel, mid=mid, share=share,
@@ -943,7 +949,7 @@ def _sa_bwd(rel, mid, share, res, d_out):
     proj, gsave, x1, idx_jm, W1, W2, b2 = res
     B, N, C = proj.shape
     k = idx_jm.shape[1]
-    tm = _SA_TM
+    tm = _sa_tm(N)
     dt, dx1, dW1, dW2, db2 = pl.pallas_call(
         functools.partial(_sa_bwd_kernel, rel=rel, mid=mid, share=share,
                           k=k, tm=tm),
