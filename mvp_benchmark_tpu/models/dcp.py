@@ -157,14 +157,18 @@ def svd_head(src_embedding, tgt_embedding, src, tgt):
     Returns R (B,3,3), t (B,3).
     """
     d_k = src_embedding.shape[-1]
+    # The pointer scores run at DEFAULT precision like every other
+    # embedding matmul (HIGHEST = 6 MXU passes over a 2048^2 matrix was
+    # ~17 ms/step); the 3x3 covariance below stays HIGHEST — that is where
+    # rotation accuracy is decided.
     scores = jnp.einsum(
         "bnd,bmd->bnm", src_embedding, tgt_embedding,
-        preferred_element_type=jnp.float32, precision=_HI,
+        preferred_element_type=jnp.float32,
     ) / math.sqrt(d_k)
     scores = jax.nn.softmax(scores, axis=2)
     src_corr = jnp.einsum(
         "bnm,bmc->bnc", scores, tgt,
-        preferred_element_type=jnp.float32, precision=_HI,
+        preferred_element_type=jnp.float32,
     )
     src_centered = src - src.mean(axis=1, keepdims=True)
     corr_centered = src_corr - src_corr.mean(axis=1, keepdims=True)

