@@ -303,10 +303,15 @@ def mha_attention(query, key, value, mask=None):
     to the dense formulation elsewhere. Returns out only (the transformer
     discards the attention weights).
 
-    The dense path stores the (B, H, N, M) score/weight tensors in bf16:
-    XLA DEFAULT precision rounds the matmul INPUTS to bf16 regardless, so
-    this only halves the HBM traffic of the 2048^2 intermediates (the DCP
-    profile's dominant cost: 211 of 389 ms in fp32)."""
+    Under the bf16 compute policy the dense path stores the (B, H, N, M)
+    score/weight tensors in bf16: XLA DEFAULT precision rounds the matmul
+    INPUTS to bf16 regardless, so this only halves the HBM traffic of the
+    2048^2 intermediates (the DCP profile's dominant cost: 211 of 389 ms in
+    fp32). Under the fp32 policy (the registration default) inputs stay
+    fp32 end-to-end: XLA DEFAULT still rounds matmul inputs to bf16 on TPU,
+    but the softmax reduction and accumulation run in f32 — the bf16 cast
+    must not silently bypass the dtype policy (a 2048-element softmax
+    accumulated in bf16 is ~1e-2 relative)."""
     if _flash_ok(query, key, value, mask):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             flash_attention,
@@ -319,7 +324,8 @@ def mha_attention(query, key, value, mask=None):
         on_tpu = jax.default_backend() in ("tpu", "axon")
     except Exception:
         on_tpu = False
-    if on_tpu and query.dtype == jnp.float32:
+    if (on_tpu and query.dtype == jnp.float32
+            and compute_dtype() == jnp.bfloat16):
         out, _ = attention(
             query.astype(jnp.bfloat16), key.astype(jnp.bfloat16),
             value.astype(jnp.bfloat16), mask,

@@ -425,12 +425,17 @@ def emd_validate(xyz1: jnp.ndarray, xyz2: jnp.ndarray) -> None:
     if n != m:
         raise ValueError(f"EMD requires n == m, got {n} vs {m} "
                          "(emd_cuda.cu:239)")
-    if B > 512:
-        raise ValueError(f"EMD batch must be <= 512, got {B} "
-                         "(emd_cuda.cu:247)")
-    if n % 1024 != 0:
-        import warnings
+    import warnings
 
+    if B > 512:
+        # The CUDA launcher's block-math limit (emd_cuda.cu:247). This
+        # implementation has no such limit — warn like the n % 1024 case
+        # instead of refusing a previously-working large-batch eval.
+        warnings.warn(
+            f"EMD protocol expects batch <= 512 (emd_cuda.cu:247); got "
+            f"B={B}. The auction still runs correctly.", stacklevel=2,
+        )
+    if n % 1024 != 0:
         warnings.warn(
             f"EMD protocol expects n % 1024 == 0 (emd_cuda.cu:243); got "
             f"n={n}. The auction still runs correctly.", stacklevel=2,

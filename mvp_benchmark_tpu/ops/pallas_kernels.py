@@ -327,9 +327,18 @@ def _knn_tile(m: int) -> int:
 def knn_pallas(
     query: jnp.ndarray, points: jnp.ndarray, k: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused kNN: (B, M, C) queries in (B, N, C) points -> (sqdist, idx),
-    both (B, M, k), nearest first. The (B, M, N) distance matrix never leaves
-    VMEM (the jnp path materializes it in HBM and runs lax.top_k over it).
+    """Fused kNN: (B, M, C) queries in (B, N, C) points ->
+    (approx_sqdist, idx), both (B, M, k), nearest first. The (B, M, N)
+    distance matrix never leaves VMEM (the jnp path materializes it in HBM
+    and runs lax.top_k over it).
+
+    INVARIANT: the first output is an APPROXIMATE squared distance — on the
+    packed-key path the low ceil(log2 N) mantissa bits are replaced by the
+    neighbour index, biasing values low by up to ~2^-(23 - log2 N) relative
+    (~5e-4 at N=2048). It exists to order/inspect neighbours, not to be
+    consumed as a distance. Every in-repo caller (knn_points,
+    dispatch.three_nn) recomputes exact distances from the gathered
+    neighbours; new callers must do the same.
     """
     B, M, C = query.shape
     N = points.shape[1]

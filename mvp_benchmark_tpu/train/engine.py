@@ -284,6 +284,10 @@ def train_completion(cfg: Config, log_dir: str, data_dir: str = "./data",
     guard = NanGuard()
 
     print_every = int(cfg.step_interval_to_print or 100)
+    # NanGuard safety bound: flush the device-side loss queue at least every
+    # 20 steps regardless of the print cadence, so a NaN aborts within ~20
+    # optimizer updates instead of `step_interval_to_print` (ADVICE r2).
+    guard_every = min(print_every, 20)
     timer = profiling.StepTimer()
 
     history = {"train_loss": [], "val": []}
@@ -295,10 +299,10 @@ def train_completion(cfg: Config, log_dir: str, data_dir: str = "./data",
         a = jnp.asarray(alpha if alpha is not None else 1.0, jnp.float32)
 
         # Device-side loss accumulation: aux scalars stay on device and the
-        # host syncs once per print interval instead of every step (a
+        # host syncs once per `guard_every` steps instead of every step (a
         # per-step float() stalls the async dispatch pipeline — the remote
         # TPU tunnel makes that a real per-step round-trip). NanGuard
-        # therefore fires up to `print_every` steps late.
+        # therefore fires up to `guard_every` (<=20) steps late.
         pending = []
         t_flush = time.perf_counter()
 
@@ -338,7 +342,7 @@ def train_completion(cfg: Config, log_dir: str, data_dir: str = "./data",
                         context.opt_state, sharded, a, step_rng,
                     )
                 pending.append((i, aux))
-                if len(pending) >= print_every:
+                if len(pending) >= guard_every:
                     flush()
         flush()
 
@@ -456,6 +460,10 @@ def train_registration(cfg: Config, log_dir: str, data_dir: str = "./data",
     )
 
     print_every = int(cfg.step_interval_to_print or 100)
+    # NanGuard safety bound: flush the device-side loss queue at least every
+    # 20 steps regardless of the print cadence, so a NaN aborts within ~20
+    # optimizer updates instead of `step_interval_to_print` (ADVICE r2).
+    guard_every = min(print_every, 20)
     timer = profiling.StepTimer()
     alpha1 = jnp.asarray(1.0)
 
@@ -505,7 +513,7 @@ def train_registration(cfg: Config, log_dir: str, data_dir: str = "./data",
                         alpha1, step_rng,
                     )
                 pending.append((i, aux))
-                if len(pending) >= print_every:
+                if len(pending) >= guard_every:
                     flush()
         flush()
 

@@ -124,7 +124,10 @@ def test_emd_validate_shapes():
     x1 = jnp.zeros((2, 64, 3))
     with _pytest.raises(ValueError):
         jnp_ref.emd_validate(x1, jnp.zeros((2, 32, 3)))
-    with _pytest.raises(ValueError):
-        jnp_ref.emd_validate(jnp.zeros((513, 64, 3)), jnp.zeros((513, 64, 3)))
+    # B > 512 is a CUDA launcher block-math limit with no analogue here —
+    # it warns (like n % 1024) instead of refusing a working computation.
+    with _pytest.warns(UserWarning):
+        jnp_ref.emd_validate(jnp.zeros((513, 1024, 3)),
+                             jnp.zeros((513, 1024, 3)))
     with _pytest.warns(UserWarning):
         jnp_ref.emd_validate(x1, x1)
