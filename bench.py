@@ -111,6 +111,31 @@ def run(batch_size):
     return steps_per_sec, flops
 
 
+def per_model_table():
+    """Chained-sync ms/step for the five non-flagship models (VRCNet is the
+    headline measurement above). Regression guard: ECG's round-1 'never
+    actually compiled at reference scale' went unnoticed for a full round
+    because only VRCNet was machine-benchmarked. BENCH_PER_MODEL=0 skips."""
+    import os
+
+    if os.environ.get("BENCH_PER_MODEL", "1") == "0":
+        return {}
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    try:
+        import tpu_step_check
+    except Exception:
+        return {}
+    table = {}
+    for name in ("pcn", "ecg", "dcp", "deepgmr", "idam"):
+        try:
+            r = tpu_step_check.check(name, batch_size=32, steps=10)
+            table[name] = round(r["ms_per_step"], 1)
+        except Exception as e:
+            table[name] = f"failed: {str(e)[:80]}"
+    return table
+
+
 def main():
     n_chips = max(jax.device_count(), 1)
     err = None
@@ -121,6 +146,8 @@ def main():
             # MFU: XLA-counted matmul/conv flops per step (excludes Pallas
             # custom calls -> a lower bound) over the bf16 MXU peak.
             mfu = sps * flops / (PEAK_FLOPS_BF16 * n_chips)
+            models_ms = per_model_table()
+            models_ms["vrcnet"] = round(1e3 / sps, 1)
             print(json.dumps({
                 "metric": "vrcnet_train_points_per_sec_per_chip",
                 "value": round(pps, 1),
@@ -128,6 +155,7 @@ def main():
                 "vs_baseline": round(pps / TARGET, 4),
                 "mfu": round(mfu, 4),
                 "ms_per_step": round(1e3 / sps, 1),
+                "models_ms_per_step": models_ms,
             }))
             return
         except Exception as e:  # OOM etc. -> retry smaller batch

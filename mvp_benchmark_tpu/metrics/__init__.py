@@ -1,4 +1,5 @@
-from mvp_benchmark_tpu.metrics.completion import calc_cd, calc_emd, fscore
+from mvp_benchmark_tpu.metrics.completion import (calc_cd, calc_cd_multi,
+                                                  calc_emd, fscore)
 from mvp_benchmark_tpu.metrics.registration import (
     quat2mat,
     rotation_error,
@@ -11,6 +12,7 @@ from mvp_benchmark_tpu.metrics.registration import (
 
 __all__ = [
     "calc_cd",
+    "calc_cd_multi",
     "calc_emd",
     "fscore",
     "quat2mat",

@@ -47,6 +47,41 @@ def calc_cd(output: jnp.ndarray, gt: jnp.ndarray, calc_f1: bool = False):
     return cd_p, cd_t
 
 
+def calc_cd_multi(outputs, gt):
+    """``calc_cd`` for several predictions against the SAME gt in ONE fused
+    chamfer launch. Returns ``[(cd_p, cd_t), ...]`` matching ``outputs``.
+
+    VRCNet's train loss runs 4 chamfer evaluations per step (reference
+    completion/models/vrcnet.py:516-517); separate launches pay 4x kernel
+    startup and keep the accelerator under-occupied between them. Shorter
+    predictions are padded with a far sentinel (never selected as a nearest
+    neighbour of gt; their own rows are sliced off before the mean, so the
+    pad also receives zero cotangent). Semantics == per-call calc_cd.
+    """
+    G = len(outputs)
+    B = gt.shape[0]
+    n_max = max(o.shape[1] for o in outputs)
+    padded = []
+    for o in outputs:
+        if o.shape[1] < n_max:
+            pad = jnp.full((B, n_max - o.shape[1], 3), 1e6, o.dtype)
+            o = jnp.concatenate([o, pad], axis=1)
+        padded.append(o)
+    stacked = jnp.concatenate(padded, axis=0)               # (G*B, n_max, 3)
+    gt_rep = jnp.tile(gt, (G, 1, 1))
+    # Same arg-order quirk as calc_cd: dist1 is gt->output.
+    dist1, dist2, _, _ = chamfer_distance(gt_rep, stacked)
+    out = []
+    for i, o in enumerate(outputs):
+        n_i = o.shape[1]
+        d1 = dist1[i * B:(i + 1) * B]
+        d2 = dist2[i * B:(i + 1) * B, :n_i]
+        cd_p = (jnp.sqrt(d1).mean(axis=1) + jnp.sqrt(d2).mean(axis=1)) / 2.0
+        cd_t = d1.mean(axis=1) + d2.mean(axis=1)
+        out.append((cd_p, cd_t))
+    return out
+
+
 def calc_emd(
     output: jnp.ndarray,
     gt: jnp.ndarray,

@@ -24,7 +24,7 @@ from flax import linen as nn
 from jax import lax
 
 from mvp_benchmark_tpu import ops
-from mvp_benchmark_tpu.metrics import calc_cd, calc_emd
+from mvp_benchmark_tpu.metrics import calc_cd, calc_cd_multi, calc_emd
 from mvp_benchmark_tpu.models import common, layers
 
 
@@ -548,10 +548,11 @@ class Model(nn.Module):
 
             if self.train_loss != "cd":
                 raise NotImplementedError("Only CD is supported")
-            loss1, _ = calc_cd(coarse_raw, gt)
-            loss2, _ = calc_cd(coarse_high, gt)
-            loss3, _ = calc_cd(coarse, gt)
-            loss4, _ = calc_cd(fine, gt)
+            # One fused chamfer launch for all 4 loss terms
+            # (reference vrcnet.py:513-517 runs them separately).
+            (loss1, _), (loss2, _), (loss3, _), (loss4, _) = calc_cd_multi(
+                [coarse_raw, coarse_high, coarse, fine], gt
+            )
             total = (
                 loss1.mean() * 10.0 + loss2.mean() * 0.5
                 + loss3.mean() + loss4.mean() * alpha

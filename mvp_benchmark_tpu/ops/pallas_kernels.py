@@ -144,13 +144,95 @@ def _chamfer_fwd(a, b):
     return (d1, d2, i1, i2), (a, b, i1, i2)
 
 
+def _chamfer_bwd_kernel(a_ref, b_ref, i1_ref, g1_ref, i2_ref, g2_ref,
+                        da_ref, *, tn):
+    """One direction of the chamfer backward as masked VPU reductions:
+
+        da[n] = 2 g1[n] (a[n] - b[i1[n]])
+                - 2 sum_m [i2[m] == n] g2[m] (b[m] - a[n])
+
+    The XLA formulation runs two row gathers plus two row-at-a-time
+    scatter-adds (~14 ns/row); at train scale (4 chamfer calls x B64 x 2048
+    rows each way) the scatters alone cost ~10 ms/step. Here both the
+    gather (via an i1 row mask) and the scatter (via an i2 membership mask)
+    are (TN, M) masked lane reductions on VMEM-resident tiles — no HBM
+    intermediate, no row loop. Outputs are (1, 3, TN) so stores are full
+    lane rows (a 3-lane last dim would break the (8, 128) tiling rule)."""
+    t = pl.program_id(1)
+    m = b_ref.shape[1]
+    col = lax.broadcasted_iota(jnp.int32, (tn, m), 1)
+    row = lax.broadcasted_iota(jnp.int32, (tn, m), 0) + t * tn
+
+    i1 = i1_ref[0, 0, pl.ds(t * tn, tn)]                    # (TN,)
+    g1 = g1_ref[0, 0, pl.ds(t * tn, tn)]                    # (TN,)
+    mask1 = col == i1[:, None]                              # (TN, M)
+    mask2 = i2_ref[0, 0, :][None, :] == row                 # (TN, M)
+    g2 = g2_ref[0, 0, :][None, :]                           # (1, M)
+    g2m = jnp.where(mask2, g2, 0.0)                         # (TN, M)
+    s0 = jnp.sum(g2m, axis=1)                               # (TN,)
+
+    for c in range(3):
+        a_c = a_ref[0, pl.ds(t * tn, tn), c]                # (TN,)
+        b_c = b_ref[0, :, c][None, :]                       # (1, M)
+        b_sel = jnp.sum(jnp.where(mask1, b_c, 0.0), axis=1)
+        s_c = jnp.sum(g2m * b_c, axis=1)
+        da_ref[0, c, :] = 2.0 * (g1 * (a_c - b_sel) + a_c * s0 - s_c)
+
+
+def _chamfer_bwd_dir(a, b, i1, g1, i2, g2):
+    """da for the (a -> b, b -> a) pair; call twice with roles swapped."""
+    B, N, _ = a.shape
+    M = b.shape[1]
+    TN = _chamfer_tile(N)
+    da = pl.pallas_call(
+        functools.partial(_chamfer_bwd_kernel, tn=TN),
+        grid=(B, N // TN),
+        in_specs=[
+            pl.BlockSpec((1, N, 3), lambda bi, t: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, 3), lambda bi, t: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda bi, t: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda bi, t: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M), lambda bi, t: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M), lambda bi, t: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, TN), lambda bi, t: (bi, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 3, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=16 * B * N * M,
+            bytes_accessed=B * ((N + M) * 12 + (N + M) * 8 + N * 12),
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(
+        a.astype(jnp.float32), b.astype(jnp.float32),
+        i1.reshape(B, 1, N), g1.astype(jnp.float32).reshape(B, 1, N),
+        i2.reshape(B, 1, M), g2.astype(jnp.float32).reshape(B, 1, M),
+    )
+    return jnp.swapaxes(da, 1, 2)                           # (B, N, 3)
+
+
 def _chamfer_bwd(res, g):
     """CUDA-equivalent backward (chamfer3D.cu:155-174): +-2 g (p - q) routed
-    through the argmin pairs, scatter-add on the opposite cloud. XLA's
-    scatter stays: the MXU one-hot variant at C=3 produced 3-lane matmul
-    outputs that REGRESSED PCN's step 3x (38 -> 115 ms)."""
+    through the argmin pairs. On TPU both directions run as fused Pallas
+    masked-reduction kernels (see _chamfer_bwd_kernel); off-TPU / unaligned
+    shapes fall back to XLA gathers + scatters. The MXU one-hot variant at
+    C=3 was measured and rejected: 3-lane matmul outputs REGRESSED PCN's
+    step 3x (38 -> 115 ms)."""
     a, b, i1, i2 = res
     g1, g2, _, _ = g
+    N, M = a.shape[1], b.shape[1]
+    if not _interpret() and N % 128 == 0 and M % 128 == 0:
+        da = _chamfer_bwd_dir(a, b, i1, g1, i2, g2)
+        db = _chamfer_bwd_dir(b, a, i2, g2, i1, g1)
+        return da.astype(a.dtype), db.astype(b.dtype)
+
     b_sel = jnp.take_along_axis(b, i1[..., None], axis=1)
     a_sel = jnp.take_along_axis(a, i2[..., None], axis=1)
     diff1 = 2.0 * g1[..., None] * (a - b_sel)        # (B, N, 3)

@@ -38,6 +38,42 @@ class TestCompletionMetrics:
         np.testing.assert_allclose(np.asarray(cd_t), exp_t, rtol=1e-3, atol=1e-4)
         np.testing.assert_allclose(np.asarray(f1), exp_f, rtol=1e-5, atol=1e-7)
 
+    def test_calc_cd_multi_matches_separate_calls(self, rng):
+        """The fused multi-output launch (VRCNet's 4-term loss) must equal
+        per-output calc_cd, including the padded shorter prediction and
+        gradients through the pad."""
+        import jax
+
+        gt = jnp.asarray(rng.random((2, 64, 3)).astype(np.float32))
+        outs = [
+            jnp.asarray(rng.random((2, 32, 3)).astype(np.float32)),
+            jnp.asarray(rng.random((2, 64, 3)).astype(np.float32)),
+            jnp.asarray(rng.random((2, 64, 3)).astype(np.float32)),
+        ]
+        multi = metrics.calc_cd_multi(outs, gt)
+        for o, (cd_p_m, cd_t_m) in zip(outs, multi):
+            cd_p, cd_t = metrics.calc_cd(o, gt)
+            np.testing.assert_allclose(np.asarray(cd_p_m), np.asarray(cd_p),
+                                       rtol=1e-5, atol=1e-7)
+            np.testing.assert_allclose(np.asarray(cd_t_m), np.asarray(cd_t),
+                                       rtol=1e-5, atol=1e-7)
+
+        def loss_multi(os_, gt_):
+            r = metrics.calc_cd_multi(list(os_), gt_)
+            return sum(p.mean() + t.mean() for p, t in r)
+
+        def loss_sep(os_, gt_):
+            return sum(
+                p.mean() + t.mean()
+                for p, t in (metrics.calc_cd(o, gt_) for o in os_)
+            )
+
+        g_m = jax.grad(loss_multi)(tuple(outs), gt)
+        g_s = jax.grad(loss_sep)(tuple(outs), gt)
+        for a, b in zip(g_m, g_s):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
     def test_fscore_nan_guard(self):
         d = jnp.ones((1, 8)) * 10.0  # nothing under threshold
         f, p1, p2 = metrics.fscore(d, d)

@@ -55,6 +55,31 @@ def test_chamfer_gradient_matches_reference(rng):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_chamfer_bwd_kernel_matches_xla(rng):
+    """The fused masked-reduction backward (the TPU path, gated off on CPU)
+    vs the XLA gather+scatter formulation, at lane-aligned shapes."""
+    a, b = clouds(rng, B=2, N=256, M=128)
+    d1, d2, i1, i2 = pallas_kernels.chamfer_distance(a, b)
+    g1 = rng.random(d1.shape).astype(np.float32)
+    g2 = rng.random(d2.shape).astype(np.float32)
+
+    da_k = pallas_kernels._chamfer_bwd_dir(a, b, i1, g1, i2, g2)
+    db_k = pallas_kernels._chamfer_bwd_dir(b, a, i2, g2, i1, g1)
+
+    b_sel = jnp.take_along_axis(jnp.asarray(b), i1[..., None], axis=1)
+    a_sel = jnp.take_along_axis(jnp.asarray(a), i2[..., None], axis=1)
+    diff1 = 2.0 * g1[..., None] * (a - b_sel)
+    diff2 = 2.0 * g2[..., None] * (b - a_sel)
+    scatter = jax.vmap(lambda acc, idx, upd: acc.at[idx].add(upd))
+    da_x = diff1 + scatter(jnp.zeros_like(jnp.asarray(a)), i2, -diff2)
+    db_x = diff2 + scatter(jnp.zeros_like(jnp.asarray(b)), i1, -diff1)
+
+    np.testing.assert_allclose(np.asarray(da_k), np.asarray(da_x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(db_k), np.asarray(db_x),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_chamfer_uneven_tile_sizes(rng):
     # N not a multiple of 128 exercises the small-tile fallback.
     a, b = clouds(rng, N=96, M=50)

@@ -49,7 +49,12 @@ REGISTRATION = {
 }
 
 
-def check(name: str, batch_size: int = 32):
+def check(name: str, batch_size: int = 32, steps: int = 10) -> dict:
+    """One compiled train step at reference scale; returns timing facts.
+
+    {"name", "batch_size", "loss", "compile_s", "ms_per_step"} — the step
+    time is chained-sync (one scalar pull at the end forces the sequence).
+    """
     rng = np.random.default_rng(0)
     kind = "completion" if name in COMPLETION else "registration"
     cfg = (COMPLETION.get(name) or REGISTRATION.get(name))
@@ -80,7 +85,6 @@ def check(name: str, batch_size: int = 32):
     compile_s = time.time() - t0
 
     t0 = time.time()
-    steps = 10
     for _ in range(steps):
         key, k = jax.random.split(key)
         params, bs, opt, aux = step(params, bs, opt, batch, jnp.asarray(0.5), k)
@@ -88,12 +92,13 @@ def check(name: str, batch_size: int = 32):
     # (block_until_ready is not a true sync through the remote tunnel).
     float(aux["total_loss"])
     dt = (time.time() - t0) / steps
-    print(
-        f"RESULT {name} bs={batch_size}: loss={loss:.4f} "
-        f"compile={compile_s:.0f}s step={dt*1000:.1f}ms "
-        f"clouds/s={batch_size/dt:.0f}",
-        flush=True,
-    )
+    return {
+        "name": name,
+        "batch_size": batch_size,
+        "loss": loss,
+        "compile_s": compile_s,
+        "ms_per_step": dt * 1000,
+    }
 
 
 if __name__ == "__main__":
@@ -102,7 +107,14 @@ if __name__ == "__main__":
         bs = 32
         while bs >= 4:
             try:
-                check(name, bs)
+                r = check(name, bs)
+                print(
+                    f"RESULT {name} bs={bs}: loss={r['loss']:.4f} "
+                    f"compile={r['compile_s']:.0f}s "
+                    f"step={r['ms_per_step']:.1f}ms "
+                    f"clouds/s={1000 * bs / r['ms_per_step']:.0f}",
+                    flush=True,
+                )
                 break
             except Exception as e:
                 print(f"RESULT {name} bs={bs}: FAILED {str(e)[:160]}",
