@@ -548,11 +548,14 @@ class Model(nn.Module):
 
             if self.train_loss != "cd":
                 raise NotImplementedError("Only CD is supported")
-            # One fused chamfer launch for all 4 loss terms
-            # (reference vrcnet.py:513-517 runs them separately).
-            (loss1, _), (loss2, _), (loss3, _), (loss4, _) = calc_cd_multi(
-                [coarse_raw, coarse_high, coarse, fine], gt
-            )
+            # Measured (tools/bench_chamfer.py, v5e): batching the 4 terms
+            # into one sentinel-padded chamfer launch (calc_cd_multi) ran
+            # 25.1 vs 22.4 ms — the padding + gt-tile + stacking copies cost
+            # more than the saved launches. Separate calls stay.
+            loss1, _ = calc_cd(coarse_raw, gt)
+            loss2, _ = calc_cd(coarse_high, gt)
+            loss3, _ = calc_cd(coarse, gt)
+            loss4, _ = calc_cd(fine, gt)
             total = (
                 loss1.mean() * 10.0 + loss2.mean() * 0.5
                 + loss3.mean() + loss4.mean() * alpha

@@ -19,7 +19,7 @@ file:line citations).
 from mvp_benchmark_tpu.ops.jnp_ref import (
     ball_query as ball_query_ref,
     chamfer_distance as chamfer_distance_ref,
-    emd_auction,
+    emd_auction as emd_auction_ref,
     furthest_point_sample as furthest_point_sample_ref,
     furthest_point_sample_with_dist,
     gather_points as gather_points_ref,
@@ -35,6 +35,7 @@ from mvp_benchmark_tpu.ops.jnp_ref import (
 
 from mvp_benchmark_tpu.ops.dispatch import (
     ball_query,
+    emd_auction,
     chamfer_distance,
     furthest_point_sample,
     gather_points,

@@ -41,6 +41,19 @@ def chamfer_distance(a, b):
     return jnp_ref.chamfer_distance(a, b)
 
 
+def emd_auction(xyz1, xyz2, eps: float = 0.005, iters: int = 50):
+    """Auction EMD (see jnp_ref.emd_auction). On TPU the whole auction runs
+    on-chip with VMEM-resident price/assignment state (benefit tiles
+    recomputed from coordinates each round); elsewhere the jnp reference
+    streams the precomputed (B, n, m) distance matrix."""
+    n, m = xyz1.shape[1], xyz2.shape[1]
+    if _on_tpu() and n == m and _lane_aligned(n, m):
+        from mvp_benchmark_tpu.ops import pallas_kernels
+
+        return pallas_kernels.emd_auction(xyz1, xyz2, eps, iters)
+    return jnp_ref.emd_auction(xyz1, xyz2, eps, iters)
+
+
 def furthest_point_sample(xyz, num_samples: int):
     """Greedy FPS (see jnp_ref.furthest_point_sample)."""
     if _on_tpu() and _lane_aligned(xyz.shape[1]):

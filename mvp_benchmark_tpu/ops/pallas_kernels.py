@@ -218,17 +218,26 @@ def _chamfer_bwd_dir(a, b, i1, g1, i2, g2):
     return jnp.swapaxes(da, 1, 2)                           # (B, N, 3)
 
 
+# Measured on the v5e at VRCNet loss scale (B=64, N=M=2048, 20-rep chained
+# sync, tools/bench_chamfer.py): the fused masked-reduction backward runs
+# 8.6 ms vs 7.0 ms for XLA's gather+scatter formulation — the (TN, M)
+# membership masks cost more VPU passes than XLA's ~14 ns/row scatters at
+# this row count. Kept (parity-tested) for ablation; flip to re-measure on
+# other hardware/shapes.
+CHAMFER_BWD_PALLAS = False
+
+
 def _chamfer_bwd(res, g):
     """CUDA-equivalent backward (chamfer3D.cu:155-174): +-2 g (p - q) routed
-    through the argmin pairs. On TPU both directions run as fused Pallas
-    masked-reduction kernels (see _chamfer_bwd_kernel); off-TPU / unaligned
-    shapes fall back to XLA gathers + scatters. The MXU one-hot variant at
-    C=3 was measured and rejected: 3-lane matmul outputs REGRESSED PCN's
-    step 3x (38 -> 115 ms)."""
+    through the argmin pairs, scatter-add on the opposite cloud. Two
+    MXU/Pallas alternatives were measured and rejected (see
+    CHAMFER_BWD_PALLAS above; the MXU one-hot variant at C=3 produced 3-lane
+    matmul outputs that REGRESSED PCN's step 3x, 38 -> 115 ms)."""
     a, b, i1, i2 = res
     g1, g2, _, _ = g
     N, M = a.shape[1], b.shape[1]
-    if not _interpret() and N % 128 == 0 and M % 128 == 0:
+    if CHAMFER_BWD_PALLAS and not _interpret() \
+            and N % 128 == 0 and M % 128 == 0:
         da = _chamfer_bwd_dir(a, b, i1, g1, i2, g2)
         db = _chamfer_bwd_dir(b, a, i2, g2, i1, g1)
         return da.astype(a.dtype), db.astype(b.dtype)
@@ -1529,3 +1538,207 @@ def three_interpolate(
         return three_interpolate_fused(features, idx, weight)
     gathered = gather_rows(features, idx, _approx_default(C))  # (B, N, 3, C)
     return jnp.sum(gathered * weight[..., None], axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Auction EMD
+# ---------------------------------------------------------------------------
+#
+# The jnp reference materializes the (B, n, m) sqrt-distance matrix in HBM
+# (16 MB per batch element at 2048^2) and every auction round re-streams it
+# through the while_loop body. This kernel runs the WHOLE auction per batch
+# element on-chip: coordinates, prices, and assignment state live in VMEM
+# scratch across all rounds, and each round recomputes benefit tiles from
+# the (n, 3) coordinates on the fly (48 KB of coords replaces 16 MB of D).
+# The CUDA original (reference utils/metrics/EMD/emd_cuda.cu:95-269) tiles
+# xyz2 through shared memory per bid round and resolves multi-bidder races
+# with atomics; here every phase is a deterministic masked reduction
+# (segment-max via target-tile masks), matching jnp_ref._emd_body's
+# tie-break (highest bidder index wins) exactly.
+
+_EMD_TN = 256
+
+
+def _emd_kernel(x1_ref, x2_ref, idx_ref, price_ref, assign_ref, inv_ref,
+                besti_ref, binc_ref, *, n, m, eps, iters, tn):
+    neg_inf = jnp.float32(-jnp.inf)
+
+    price_ref[0, :] = jnp.zeros((m,), jnp.float32)
+    assign_ref[0, :] = jnp.full((n,), -1, jnp.int32)
+    inv_ref[0, :] = jnp.full((m,), -1, jnp.int32)
+
+    def bid_phase():
+        """Per n-tile: top-2 benefit -> best_i, bid_inc into scratch."""
+        price_row = price_ref[0, :][None, :]                # (1, m)
+
+        def tile(t, _):
+            d = jnp.zeros((tn, m), jnp.float32)
+            for c in range(3):
+                diff = (x1_ref[0, pl.ds(t * tn, tn), c][:, None]
+                        - x2_ref[0, :, c][None, :])
+                d += diff * diff
+            benefit = 3.0 - jnp.sqrt(d) - price_row         # (tn, m)
+            best_i = jnp.argmax(benefit, axis=1).astype(jnp.int32)
+            best = jnp.max(benefit, axis=1)
+            col = lax.broadcasted_iota(jnp.int32, (tn, m), 1)
+            second = jnp.max(
+                jnp.where(col == best_i[:, None], neg_inf, benefit), axis=1
+            )
+            besti_ref[0, pl.ds(t * tn, tn)] = best_i
+            binc_ref[0, pl.ds(t * tn, tn)] = best - second + eps
+            return 0
+
+        lax.fori_loop(0, n // tn, tile, 0)
+
+    def round_body(carry):
+        it, _ = carry
+        bid_phase()
+
+        unass = assign_ref[0, :] < 0                        # (n,)
+        masked_inc = jnp.where(unass, binc_ref[0, :], neg_inf)
+        best_i_row = besti_ref[0, :][None, :]               # (1, n)
+        minc_row = masked_inc[None, :]                      # (1, n)
+        bidder = lax.broadcasted_iota(jnp.int32, (tn, n), 1)
+
+        # Segment max over bidders per target tile: max bid increment and
+        # (among tied max bids) the highest bidder index -> the winner.
+        def tgt_tile(t, _):
+            trow = (lax.broadcasted_iota(jnp.int32, (tn, n), 0) + t * tn)
+            tmask = best_i_row == trow                      # (tn, n)
+            bids = jnp.where(tmask, minc_row, neg_inf)
+            max_inc = jnp.max(bids, axis=1)                 # (tn,)
+            winner = jnp.max(
+                jnp.where(bids == max_inc[:, None], bidder, -1), axis=1
+            )
+            # No bids -> max_inc = -inf -> winner must stay -1.
+            winner = jnp.where(max_inc == neg_inf, -1, winner)
+            # Reuse binc storage layout: stash per-target results.
+            price_ref[0, pl.ds(t * tn, tn)] = (
+                price_ref[0, pl.ds(t * tn, tn)]
+                + jnp.where(winner >= 0, max_inc, 0.0)
+            )
+            inv_ref[0, pl.ds(t * tn, tn)] = jnp.where(
+                winner >= 0, winner, inv_ref[0, pl.ds(t * tn, tn)]
+            )
+            return _
+
+        lax.fori_loop(0, m // tn, tgt_tile, 0)
+
+        # Eviction + assignment per n-tile. A target's new owner is
+        # inv_ref[t] (just updated); previous owners of won targets are
+        # evicted; winners take their targets.
+        def own_tile(t, _):
+            a_tile = assign_ref[0, pl.ds(t * tn, tn)]       # (tn,)
+            bi_tile = besti_ref[0, pl.ds(t * tn, tn)]
+            i_tile = (lax.iota(jnp.int32, tn) + t * tn)
+            col = lax.broadcasted_iota(jnp.int32, (tn, m), 1)
+            inv_row = inv_ref[0, :][None, :]                # (1, m)
+
+            # winner_of[best_i[i]] via one-hot masked sum (exactly one hit).
+            gmask = col == bi_tile[:, None]                 # (tn, m)
+            win_sel = jnp.sum(jnp.where(gmask, inv_row, 0), axis=1)
+            is_winner = (a_tile < 0) & (win_sel == i_tile)
+
+            # Eviction: current owner i of target t is evicted iff t was won
+            # by someone else this round. inv_ref[t] != i detects that (the
+            # winner of t this round is never its previous owner: only
+            # unassigned points bid).
+            amask = col == a_tile[:, None]                  # (tn, m)
+            owner_now = jnp.sum(jnp.where(amask, inv_row, 0), axis=1)
+            evicted = (a_tile >= 0) & (owner_now != i_tile)
+
+            new_a = jnp.where(
+                is_winner, bi_tile, jnp.where(evicted, -1, a_tile)
+            )
+            assign_ref[0, pl.ds(t * tn, tn)] = new_a
+            return _
+
+        lax.fori_loop(0, n // tn, own_tile, 0)
+        n_unass = jnp.sum((assign_ref[0, :] < 0).astype(jnp.int32))
+        return it + 1, n_unass
+
+    def cond(carry):
+        it, n_unass = carry
+        return (it < iters - 1) & (n_unass > 0)
+
+    lax.while_loop(cond, round_body, (0, jnp.int32(n)))
+
+    # Final forced round (CUDA last=true): every leftover takes its current
+    # best target, possibly breaking bijectivity — exactly like jnp_ref.
+    bid_phase()
+    unass = assign_ref[0, :] < 0
+    idx_ref[0, :] = jnp.where(unass, besti_ref[0, :], assign_ref[0, :])
+
+
+def _emd_assignment_pallas(xyz1, xyz2, eps, iters):
+    B, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    tn = _EMD_TN if n % _EMD_TN == 0 else 128
+    assignment = pl.pallas_call(
+        functools.partial(_emd_kernel, n=n, m=m, eps=float(eps),
+                          iters=int(iters), tn=tn),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, n, 3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, 3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((1, m), jnp.float32),   # price
+            pltpu.VMEM((1, n), jnp.int32),     # assignment
+            pltpu.VMEM((1, m), jnp.int32),     # inverse assignment / winner
+            pltpu.VMEM((1, n), jnp.int32),     # best target per bidder
+            pltpu.VMEM((1, n), jnp.float32),   # bid increment per bidder
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=B * iters * n * m * 20,
+            bytes_accessed=B * (n + m) * 24,
+            transcendentals=B * iters * n * m,
+        ),
+        interpret=_interpret(),
+    )(xyz1.astype(jnp.float32), xyz2.astype(jnp.float32))
+    return assignment
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def emd_auction(xyz1, xyz2, eps: float = 0.005, iters: int = 50):
+    """Fused on-chip auction EMD (semantics == jnp_ref.emd_auction).
+
+    Returns (dist (B, n) squared L2 to the assigned gt point, assignment
+    (B, n) int32); gradient w.r.t. xyz1 only, like the reference
+    (utils/metrics/EMD/emd_module.py:72-81). Distances inside the auction
+    use exact per-coordinate planes (the jnp reference uses the
+    HIGHEST-precision matmul expansion, so assignments can differ at
+    ~1e-7-level benefit ties; the returned dist is exact either way).
+    """
+    return _emd_pallas_forward(xyz1, xyz2, eps, iters)
+
+
+def _emd_pallas_forward(xyz1, xyz2, eps, iters):
+    jnp_ref.emd_validate(xyz1, xyz2)
+    assignment = lax.stop_gradient(
+        _emd_assignment_pallas(xyz1, xyz2, eps, iters)
+    )
+    matched = jnp.take_along_axis(xyz2, assignment[..., None], axis=1)
+    dist = jnp.sum((xyz1 - matched) ** 2, axis=-1)
+    return dist, assignment
+
+
+def _emd_pallas_fwd(xyz1, xyz2, eps, iters):
+    dist, assignment = _emd_pallas_forward(xyz1, xyz2, eps, iters)
+    return (dist, assignment), (xyz1, xyz2, assignment)
+
+
+def _emd_pallas_bwd(eps, iters, res, g):
+    xyz1, xyz2, assignment = res
+    g_dist, _ = g
+    matched = jnp.take_along_axis(xyz2, assignment[..., None], axis=1)
+    dx1 = 2.0 * g_dist[..., None] * (xyz1 - matched)
+    return dx1, jnp.zeros_like(xyz2)
+
+
+emd_auction.defvjp(_emd_pallas_fwd, _emd_pallas_bwd)

@@ -35,7 +35,7 @@ from mvp_benchmark_tpu.data.mvp import (
 from mvp_benchmark_tpu.data.prefetch import DevicePrefetcher
 from mvp_benchmark_tpu.models import get_model
 from mvp_benchmark_tpu.parallel import launch
-from mvp_benchmark_tpu.parallel.mesh import get_mesh, shard_batch
+from mvp_benchmark_tpu.parallel.mesh import get_mesh, replicate, shard_batch
 from mvp_benchmark_tpu.train import checkpoint as ckpt
 from mvp_benchmark_tpu.train import optim as optim_util
 from mvp_benchmark_tpu.train import profiling
@@ -134,6 +134,37 @@ def _init_model(cfg: Config, model, example_args, rng_seed: int = 0):
 
     variables = dict(do_init(rngs, array_args))
     return variables
+
+
+def _is_multiprocess() -> bool:
+    try:
+        return jax.process_count() > 1
+    except Exception:
+        return False
+
+
+def _replicate_context(context, mesh) -> None:
+    """Multi-process: promote the per-process (identically seeded/loaded)
+    params, BN state and optimizer state to global replicated arrays so the
+    jitted step can consume them alongside the globally sharded batch."""
+    if not _is_multiprocess():
+        return
+    context.params = replicate(mesh, context.params)
+    if context.batch_stats:
+        context.batch_stats = replicate(mesh, context.batch_stats)
+    context.opt_state = replicate(mesh, context.opt_state)
+
+
+def _place_val(batch, keys):
+    """Device placement for a val batch. Multi-process: every host runs the
+    SAME full val pass (num_shards=1) on fully replicated arrays — metric
+    arrays come back replicated, so the host-side meters see the global
+    values without cross-host metric plumbing."""
+    if _is_multiprocess():
+        placed = shard_batch(get_mesh(), {k: batch[k] for k in keys},
+                             exclude=(), replicated=True)
+        return placed
+    return {k: jnp.asarray(batch[k]) for k in keys}
 
 
 def create_context(cfg: Config, model, example_args, seed: int = 0) -> TrainContext:
@@ -264,8 +295,12 @@ def train_completion(cfg: Config, log_dir: str, data_dir: str = "./data",
     spec = BatchSpec(int(cfg.batch_size), shuffle=True,
                      seed=int(cfg.manual_seed or 1),
                      num_shards=num_shards, shard_id=shard_id)
-    val_spec = BatchSpec(int(cfg.batch_size), shuffle=False,
-                         num_shards=num_shards, shard_id=shard_id)
+    if _is_multiprocess():
+        # Replicated val (see _place_val): every host runs the full pass.
+        val_spec = BatchSpec(int(cfg.batch_size), shuffle=False)
+    else:
+        val_spec = BatchSpec(int(cfg.batch_size), shuffle=False,
+                             num_shards=num_shards, shard_id=shard_id)
 
     model = get_model(cfg.model_name, cfg)
     b0 = next(dataset.batches(spec))
@@ -278,6 +313,7 @@ def train_completion(cfg: Config, log_dir: str, data_dir: str = "./data",
         context.load_state_dict(ckpt.load_model(cfg.load_model)["net_state_dict"])
         logger.info("%s's previous weights loaded.", cfg.model_name)
 
+    _replicate_context(context, mesh)
     train_step = make_train_step(model, context.tx, "completion")
     eval_step = make_eval_step(model, "completion")
     rng = jax.random.PRNGKey(int(cfg.manual_seed or 1))
@@ -371,7 +407,7 @@ def val_completion(context, eval_step, dataset_val, spec, val_meters, best,
         count = int(batch["count"])
         result = eval_step(
             context.params, context.batch_stats,
-            {k: jnp.asarray(v) for k, v in batch.items() if k != "count"},
+            _place_val(batch, [k for k in batch if k != "count"]),
             prefix="val",
         )
         for name, meter in val_meters.items():
@@ -387,11 +423,15 @@ def val_completion(context, eval_step, dataset_val, spec, val_meters, best,
         improved = meter.avg > curr_best if m == "f1" else meter.avg < curr_best
         if improved:
             best[m] = (epoch, meter.avg)
-            ckpt.save_model(
-                os.path.join(log_dir, f"best_{m}_network.pkl"),
-                context.variables,
-            )
-            logger.info("Best %s net saved!", m)
+            # Primary-only, like the epoch checkpoints (multi-process: every
+            # process computes identical metrics on the replicated val pass,
+            # but only one should write).
+            if launch.is_primary():
+                ckpt.save_model(
+                    os.path.join(log_dir, f"best_{m}_network.pkl"),
+                    context.variables,
+                )
+                logger.info("Best %s net saved!", m)
         log += f"curr_{m}: {meter.avg:f}; "
         best_log += f"best_{m}: {best[m][1]:f} [epoch {best[m][0]}]; "
     logger.info(log)
@@ -435,8 +475,12 @@ def train_registration(cfg: Config, log_dir: str, data_dir: str = "./data",
     spec = BatchSpec(int(cfg.batch_size), shuffle=True,
                      seed=int(cfg.manual_seed or 1),
                      num_shards=num_shards, shard_id=shard_id)
-    val_spec = BatchSpec(int(cfg.batch_size), shuffle=False,
-                         num_shards=num_shards, shard_id=shard_id)
+    if _is_multiprocess():
+        # Replicated val (see _place_val): every host runs the full pass.
+        val_spec = BatchSpec(int(cfg.batch_size), shuffle=False)
+    else:
+        val_spec = BatchSpec(int(cfg.batch_size), shuffle=False,
+                             num_shards=num_shards, shard_id=shard_id)
 
     model = get_model(cfg.model_name, cfg)
     b0 = next(dataset.batches(spec))
@@ -450,6 +494,7 @@ def train_registration(cfg: Config, log_dir: str, data_dir: str = "./data",
         context.load_state_dict(ckpt.load_model(cfg.load_model)["net_state_dict"])
         logger.info("%s's previous weights loaded.", cfg.model_name)
 
+    _replicate_context(context, mesh)
     train_step = make_train_step(model, context.tx, "registration")
     eval_step = make_eval_step(model, "registration")
     rng = jax.random.PRNGKey(int(cfg.manual_seed or 1))
@@ -551,7 +596,7 @@ def val_registration(context, eval_step, dataset_val, spec, val_meters,
         count = int(batch["count"])
         _, r_err, t_err, rmse, mse = eval_step(
             context.params, context.batch_stats,
-            {k: jnp.asarray(batch[k]) for k in ("src", "tgt", "transform")},
+            _place_val(batch, ("src", "tgt", "transform")),
             prefix="val",
         )
         r_err, t_err = np.asarray(r_err), np.asarray(t_err)
@@ -575,11 +620,15 @@ def val_registration(context, eval_step, dataset_val, spec, val_meters,
         )
         if improved:
             best[m] = (epoch, meter.avg)
-            ckpt.save_model(
-                os.path.join(log_dir, f"best_{m}_network.pkl"),
-                context.variables,
-            )
-            logger.info("Best %s net saved!", m)
+            # Primary-only, like the epoch checkpoints (multi-process: every
+            # process computes identical metrics on the replicated val pass,
+            # but only one should write).
+            if launch.is_primary():
+                ckpt.save_model(
+                    os.path.join(log_dir, f"best_{m}_network.pkl"),
+                    context.variables,
+                )
+                logger.info("Best %s net saved!", m)
         log += f"curr_{m}: {meter.avg:f}; "
         best_log += f"best_{m}: {best[m][1]:f} [epoch {best[m][0]}]; "
     logger.info(log)

@@ -131,3 +131,53 @@ def test_emd_validate_shapes():
                              jnp.zeros((513, 1024, 3)))
     with _pytest.warns(UserWarning):
         jnp_ref.emd_validate(x1, x1)
+
+
+def test_pallas_emd_matches_reference(rng):
+    """The on-chip auction kernel (interpret mode here) vs the jnp golden
+    reference: identical tie-break rules, so assignments should agree except
+    at float round-off benefit ties (the kernel computes distances from
+    exact per-coordinate planes, the reference from the HIGHEST-precision
+    matmul expansion). dist must agree to fp32 round-off everywhere."""
+    from mvp_benchmark_tpu.ops import pallas_kernels
+
+    x1 = jnp.asarray(rng.random((2, 256, 3), dtype=np.float64)
+                     .astype(np.float32))
+    x2 = jnp.asarray(rng.random((2, 256, 3), dtype=np.float64)
+                     .astype(np.float32))
+    d_k, a_k = pallas_kernels.emd_auction(x1, x2, 0.02, 50)
+    d_r, a_r = jnp_ref.emd_auction(x1, x2, 0.02, 50)
+
+    match = float(jnp.mean((a_k == a_r).astype(jnp.float32)))
+    assert match > 0.98, f"assignment match rate {match}"
+    # Where assignments agree, dists are identical computations.
+    same = np.asarray(a_k == a_r)
+    np.testing.assert_allclose(np.asarray(d_k)[same], np.asarray(d_r)[same],
+                               rtol=1e-5, atol=1e-6)
+    # Assignment validity (the reference's own self-test property,
+    # emd_module.py:90-104): dist equals the recomputed distance to the
+    # assigned point, and the assignment is near-bijective.
+    matched = jnp.take_along_axis(x2, a_k[..., None], axis=1)
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum((x1 - matched) ** 2, -1)), np.asarray(d_k),
+        rtol=1e-5, atol=1e-7,
+    )
+    for b in range(2):
+        assert len(set(np.asarray(a_k[b]).tolist())) > 0.95 * 256
+
+
+def test_pallas_emd_gradient_formula(rng):
+    from mvp_benchmark_tpu.ops import pallas_kernels
+
+    x1 = jnp.asarray(rng.random((1, 128, 3)).astype(np.float32))
+    x2 = jnp.asarray(rng.random((1, 128, 3)).astype(np.float32))
+
+    def loss(a):
+        d, _ = pallas_kernels.emd_auction(a, x2, 0.02, 30)
+        return jnp.sum(d)
+
+    g = jax.grad(loss)(x1)
+    _, assignment = pallas_kernels.emd_auction(x1, x2, 0.02, 30)
+    matched = jnp.take_along_axis(x2, assignment[..., None], axis=1)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(2.0 * (x1 - matched)),
+                               rtol=1e-5, atol=1e-6)
