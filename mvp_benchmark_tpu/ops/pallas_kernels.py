@@ -388,13 +388,69 @@ def _knn_kernel(q_ref, p_ref, idx_ref, dist_ref, *, k):
         d_bits = pltpu.bitcast(d, jnp.int32)
         key = (d_bits & ~lomask) | col                        # (TM, N)
         sentinel = jnp.int32(0x7F000000)                      # > any distance
-        for j in range(k):
-            kmin = jnp.min(key, axis=1, keepdims=True)        # (TM, 1)
-            idx_ref[0, j, :] = (kmin & lomask)[:, 0]
-            dist_ref[0, j, :] = pltpu.bitcast(
-                kmin & ~lomask, jnp.float32
-            )[:, 0]
-            key = jnp.where(key == kmin, sentinel, key)
+
+        def extract_sweeps(key):
+            """k full-width packed-key min sweeps (the round-2 formulation;
+            the exact fallback for the two-level fast path below)."""
+            for j in range(k):
+                kmin = jnp.min(key, axis=1, keepdims=True)    # (TM, 1)
+                idx_ref[0, j, :] = (kmin & lomask)[:, 0]
+                dist_ref[0, j, :] = pltpu.bitcast(
+                    kmin & ~lomask, jnp.float32
+                )[:, 0]
+                key = jnp.where(key == kmin, sentinel, key)
+
+        G = 256
+        S = n // G
+        if n % G == 0 and S >= 2:
+            # Two-level extraction: fold the N lanes into S slabs of G
+            # columns and keep each GROUP's (= lane-across-slabs) top-R
+            # candidates sorted in R (TM, G) registers; each of the k
+            # extractions then runs on G lanes instead of N. Correct unless
+            # some group holds more than R of the true top-k — when a
+            # group's candidates run dry its slot becomes the RESCAN
+            # sentinel, and if that sentinel ever WINS an extraction the
+            # whole tile redoes the exact full-width sweeps (rare:
+            # P(group >= 5 of top-16 | 256-col groups) ~ 1e-6 per row).
+            R = 4
+            # Pop-shifts insert RESCAN; prep pads smaller-than-R groups with
+            # the (larger) `sentinel`. Seeing RESCAN as the popped group's
+            # NEXT candidate means stored candidates ran dry while deeper
+            # real elements may exist -> the tile must redo exact sweeps.
+            # Seeing `sentinel` there means the group was fully stored
+            # (S <= R case or genuinely empty) -> complete information.
+            RESCAN = jnp.int32(0x7E000000)
+            work = [key[:, i * G:(i + 1) * G] for i in range(S)]
+            cand = []
+            for r in range(R):
+                m = work[0]
+                for w in work[1:]:
+                    m = jnp.minimum(m, w)
+                cand.append(m)                                # (TM, G)
+                if r < R - 1:
+                    # Keys are unique (index in the low bits), so the
+                    # invalidation hits exactly the popped element.
+                    work = [jnp.where(w == m, sentinel, w) for w in work]
+            g = cand
+            trip = jnp.zeros((), jnp.bool_)
+            for j in range(k):
+                kmin = jnp.min(g[0], axis=1, keepdims=True)   # (TM, 1)
+                idx_ref[0, j, :] = (kmin & lomask)[:, 0]
+                dist_ref[0, j, :] = pltpu.bitcast(
+                    kmin & ~lomask, jnp.float32
+                )[:, 0]
+                sel = g[0] == kmin
+                if j < k - 1:
+                    trip = trip | jnp.any(sel & (g[1] == RESCAN))
+                for i in range(R - 1):
+                    g[i] = jnp.where(sel, g[i + 1], g[i])
+                g[R - 1] = jnp.where(sel, RESCAN, g[R - 1])
+
+            @pl.when(trip)
+            def _():
+                extract_sweeps(key)
+        else:
+            extract_sweeps(key)
     else:
         # Exact argmin sweeps for unaligned N (small/smoke shapes only).
         for j in range(k):
@@ -416,7 +472,7 @@ def _knn_tile(m: int) -> int:
 
 
 def knn_pallas(
-    query: jnp.ndarray, points: jnp.ndarray, k: int
+    query: jnp.ndarray, points: jnp.ndarray, k: int, tm: int | None = None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused kNN: (B, M, C) queries in (B, N, C) points ->
     (approx_sqdist, idx), both (B, M, k), nearest first. The (B, M, N)
@@ -434,7 +490,7 @@ def knn_pallas(
     B, M, C = query.shape
     N = points.shape[1]
     k = min(k, N)
-    TM = _knn_tile(M)
+    TM = tm if tm is not None and M % tm == 0 else _knn_tile(M)
 
     idx, dist = pl.pallas_call(
         functools.partial(_knn_kernel, k=k),
@@ -561,10 +617,19 @@ def group_max(features, idx):
     return _group_max_forward(features, idx)[0]
 
 
+def _gm_tile(m: int) -> int:
+    # Prefer larger tiles (launch-overhead-bound at model scale: measured
+    # 4.0 ms at L1->L2 vs a ~1 ms one-hot MXU floor with 256-wide tiles).
+    for tm in (1024, 512, 256):
+        if m % tm == 0:
+            return tm
+    return m
+
+
 def _group_max_forward(features, idx):
     B, N, C = features.shape
     M, k = idx.shape[1], idx.shape[2]
-    tm = _GM_TM if M % _GM_TM == 0 else M
+    tm = _gm_tile(M)
     idx_jm = jnp.swapaxes(idx, 1, 2).astype(jnp.int32)     # (B, k, M)
     out, slot = pl.pallas_call(
         functools.partial(_group_max_fwd_kernel, k=k, tm=tm),
@@ -603,7 +668,7 @@ def _group_max_fwd_rule(features, idx):
 def _group_max_bwd_rule(res, g):
     (B, N, C), idx_jm, slot = res
     M, k = idx_jm.shape[2], idx_jm.shape[1]
-    tm = _GM_TM if M % _GM_TM == 0 else M
+    tm = _gm_tile(M)
     dt = pl.pallas_call(
         functools.partial(_group_max_bwd_kernel, k=k, tm=tm),
         grid=(B, M // tm),
@@ -691,6 +756,15 @@ def _ti_bwd_kernel(idx_ref, w_ref, t_ref, g_ref, dt_ref, dw_ref, *, tm):
         dw_ref[0, l, pl.ds(m * tm, tm)] = dw_l
 
 
+def _ti_tile(n: int) -> int:
+    # Prefer larger tiles: the (B, N/tm) grid at tm=256 ran launch-bound
+    # (4.3 ms measured vs ~0.5 ms MXU floor at L1 scale).
+    for tm in (1024, 512, 256):
+        if n % tm == 0:
+            return tm
+    return _TI_TM
+
+
 @jax.custom_vjp
 def three_interpolate_fused(features, idx, weight):
     """Fused weighted 3-NN interpolation (semantics ==
@@ -703,7 +777,7 @@ def three_interpolate_fused(features, idx, weight):
 def _ti_forward(features, idx, weight):
     B, Msrc, C = features.shape
     N = idx.shape[1]
-    tm = _TI_TM
+    tm = _ti_tile(N)
     idx_lm = jnp.swapaxes(idx, 1, 2).astype(jnp.int32)      # (B, 3, N)
     w_lm = jnp.swapaxes(weight, 1, 2)                       # (B, 3, N)
     out = pl.pallas_call(
@@ -738,7 +812,7 @@ def _ti_bwd_rule(res, g):
     features, idx, weight = res
     B, Msrc, C = features.shape
     N = idx.shape[1]
-    tm = _TI_TM
+    tm = _ti_tile(N)
     idx_lm = jnp.swapaxes(idx, 1, 2).astype(jnp.int32)
     w_lm = jnp.swapaxes(weight, 1, 2)
     dt, dw_lm = pl.pallas_call(
