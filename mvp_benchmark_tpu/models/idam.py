@@ -28,17 +28,21 @@ _HI = lax.Precision.HIGHEST
 
 
 class ConvBlock(nn.Module):
-    """Conv(BN,ReLU)* -> plain Conv over the last axis (idam.py:73-112)."""
+    """Conv(BN,ReLU)* -> plain Conv over the last axis (idam.py:73-112).
+
+    ``dtype`` locally overrides the activation policy (the similarity stack
+    runs bf16 — see Model below); None follows the global policy."""
 
     channels: tuple
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         for ch in self.channels[:-1]:
-            x = layers.TorchDense(ch, use_bias=False)(x)
-            x = layers.BatchNorm()(x, train)
+            x = layers.TorchDense(ch, use_bias=False, dtype=self.dtype)(x)
+            x = layers.BatchNorm(dtype=self.dtype)(x, train)
             x = nn.relu(x)
-        return layers.TorchDense(self.channels[-1])(x)
+        return layers.TorchDense(self.channels[-1], dtype=self.dtype)(x)
 
 
 class Propagate(nn.Module):
@@ -203,6 +207,12 @@ class Model(nn.Module):
         t = jnp.zeros((B, 3))
         loss = 0.0
 
+        # The (B, M, M, 32) similarity stack is pure HBM bandwidth at scale
+        # (~5 GB/iter of f32 traffic = the whole IDAM step cost); its fat
+        # intermediates run bf16 (BN statistics, softmaxes and losses stay
+        # f32). See PERF.md for the measured step-time and convergence
+        # evidence.
+        sim_dt = jnp.bfloat16
         for i in range(self.num_iters):
             # Similarity-matrix conv over virtually-concatenated
             # [src_emb_i, tgt_emb_j, dist_ij, dir_ij] features: the first
@@ -215,19 +225,19 @@ class Model(nn.Module):
             dist = jnp.sqrt(jnp.sum(diff**2, axis=-1, keepdims=True))
             diff = diff / (dist + 1e-8)
             dd = jnp.concatenate([dist, diff], axis=-1)          # (B,M,M,4)
-            sim = layers.DenseCat(32, use_bias=False)(
+            sim = layers.DenseCat(32, use_bias=False, dtype=sim_dt)(
                 src_embedding[:, :, None, :],
                 tgt_embedding[:, None, :, :],
                 dd,
             )
-            sim = nn.relu(layers.BatchNorm()(sim, train))
-            sim = ConvBlock((32,))(sim, train)                   # per-iter params
+            sim = nn.relu(layers.BatchNorm(dtype=sim_dt)(sim, train))
+            sim = ConvBlock((32,), dtype=sim_dt)(sim, train)     # per-iter params
 
-            weights = jnp.max(sim, axis=2)                       # (B, M, 32)
+            weights = jnp.max(sim, axis=2).astype(jnp.float32)   # (B, M, 32)
             weights = ConvBlock((32, 1))(weights, train).squeeze(-1)
 
-            sim = ConvBlock((32, 1))(sim, train).squeeze(-1)     # (B, M, M)
-            sim = jnp.clip(sim, -20.0, 20.0)
+            sim = ConvBlock((32, 1), dtype=sim_dt)(sim, train).squeeze(-1)
+            sim = jnp.clip(sim.astype(jnp.float32), -20.0, 20.0)  # (B, M, M)
 
             if train and i == 0:
                 src_neg_ent = jax.nn.softmax(sim, axis=-1)

@@ -208,6 +208,7 @@ class BatchNorm(nn.Module):
 
     momentum: float = 0.9
     epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -215,9 +216,10 @@ class BatchNorm(nn.Module):
             use_running_average=not train,
             momentum=self.momentum,
             epsilon=self.epsilon,
-            # Activations follow the global policy; running stats and
-            # scale/bias params stay fp32 (flax default param_dtype).
-            dtype=compute_dtype(),
+            # Activations follow the global policy (or an explicit local
+            # override, e.g. IDAM's bf16 similarity stack); running stats
+            # and scale/bias params stay fp32 (flax default param_dtype).
+            dtype=self.dtype or compute_dtype(),
         )(x)
 
 
@@ -324,6 +326,19 @@ def mha_attention(query, key, value, mask=None):
         on_tpu = jax.default_backend() in ("tpu", "axon")
     except Exception:
         on_tpu = False
+    if on_tpu:
+        from mvp_benchmark_tpu.ops import pallas_kernels
+
+        if pallas_kernels.fused_attention_ok(query, key, value, mask):
+            B, H, Nq, D = query.shape
+            M = key.shape[2]
+            out = pallas_kernels.fused_attention(
+                query.reshape(B * H, Nq, D),
+                key.reshape(B * H, M, D),
+                value.reshape(B * H, M, D),
+                1.0 / math.sqrt(D),
+            )
+            return out.reshape(B, H, Nq, D)
     if (on_tpu and query.dtype == jnp.float32
             and compute_dtype() == jnp.bfloat16):
         out, _ = attention(

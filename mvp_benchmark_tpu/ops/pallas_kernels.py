@@ -1741,7 +1741,7 @@ def _emd_kernel(x1_ref, x2_ref, idx_ref, price_ref, assign_ref, inv_ref,
     # best target, possibly breaking bijectivity — exactly like jnp_ref.
     bid_phase()
     unass = assign_ref[0, :] < 0
-    idx_ref[0, :] = jnp.where(unass, besti_ref[0, :], assign_ref[0, :])
+    idx_ref[0, 0, :] = jnp.where(unass, besti_ref[0, :], assign_ref[0, :])
 
 
 def _emd_assignment_pallas(xyz1, xyz2, eps, iters):
@@ -1758,9 +1758,12 @@ def _emd_assignment_pallas(xyz1, xyz2, eps, iters):
             pl.BlockSpec((1, m, 3), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n), lambda b: (b, 0),
+        # The index plane rides as (B, 1, n) so the block's trailing two
+        # dims are (1, n) against array dims (1, n) — a 2-D (B, n) output
+        # with block (1, n) violates Mosaic's sublane rule for B % 8 != 0.
+        out_specs=pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, 1, n), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((1, m), jnp.float32),   # price
             pltpu.VMEM((1, n), jnp.int32),     # assignment
@@ -1775,7 +1778,7 @@ def _emd_assignment_pallas(xyz1, xyz2, eps, iters):
         ),
         interpret=_interpret(),
     )(xyz1.astype(jnp.float32), xyz2.astype(jnp.float32))
-    return assignment
+    return assignment.reshape(B, n)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -1816,3 +1819,194 @@ def _emd_pallas_bwd(eps, iters, res, g):
 
 
 emd_auction.defvjp(_emd_pallas_fwd, _emd_pallas_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-head attention (DCP's transformer pointer)
+# ---------------------------------------------------------------------------
+#
+# The reference pointer materializes softmax(QK^T/sqrt(d)) per head
+# (registration/models/dcp.py:26-32): at B32 x H4 x 2048^2 that is 2.1 GB of
+# f32 score + weight tensors streamed through HBM several times per step —
+# the DCP profile's dominant cost (~211 of 389 ms/step). jax's bundled flash
+# kernel was measured SLOWER than dense XLA here (61 vs 41 ms per call f+b):
+# its blockwise online-softmax rescaling is pure overhead when the whole
+# (M, D) K/V panes fit in VMEM. This kernel exploits exactly that: per
+# (batch*head, q-tile) program, K/V live in VMEM (bf16: 512 KB each at
+# M=2048, D=128), the (TM, M) score plane exists only in registers, and the
+# softmax is a single exact pass (row max / exp / row sum — no rescaling).
+# Matmul inputs are bf16 with f32 accumulation — identical arithmetic to
+# XLA's DEFAULT TPU precision for f32 operands — and the softmax runs in
+# f32, unlike the round-2 bf16 cast that bypassed the dtype policy.
+#
+# The backward recomputes the softmax from Q/K (cheaper than streaming a
+# saved 2 GB weight tensor back from HBM) and accumulates dK/dV across
+# q-tiles in the output block, relying on TPU grids executing sequentially.
+
+_ATTN_TM = 256
+
+
+def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    q = q_ref[0].astype(jnp.bfloat16)                        # (TM, D)
+    k = k_ref[0].astype(jnp.bfloat16)                        # (M, D)
+    s = lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                                # (TM, M) f32
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=1, keepdims=True)
+    o_ref[0] = jnp.dot(
+        p.astype(jnp.bfloat16), v_ref[0].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                     *, scale):
+    t = pl.program_id(1)
+    q = q_ref[0].astype(jnp.bfloat16)
+    k = k_ref[0].astype(jnp.bfloat16)
+    v = v_ref[0].astype(jnp.bfloat16)
+    do = do_ref[0].astype(jnp.float32)                       # (TM, D)
+
+    s = lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=1, keepdims=True)                # (TM, M) f32
+
+    p16 = p.astype(jnp.bfloat16)
+    do16 = do.astype(jnp.bfloat16)
+    contractT = (((0,), (0,)), ((), ()))
+    dv_tile = lax.dot_general(p16, do16, dimension_numbers=contractT,
+                              preferred_element_type=jnp.float32)  # (M, D)
+    dp = lax.dot_general(do16, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                         preferred_element_type=jnp.float32)       # (TM, M)
+    delta = jnp.sum(p * dp, axis=1, keepdims=True)           # (TM, 1)
+    ds = (p * (dp - delta)) * scale                          # (TM, M) f32
+    ds16 = ds.astype(jnp.bfloat16)
+    dq_ref[0] = jnp.dot(ds16, k, preferred_element_type=jnp.float32
+                        ).astype(dq_ref.dtype)
+    dk_tile = lax.dot_general(ds16, q, dimension_numbers=contractT,
+                              preferred_element_type=jnp.float32)  # (M, D)
+
+    @pl.when(t == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += dk_tile
+    dv_ref[0] += dv_tile
+
+
+def _attn_tm(n: int) -> int:
+    for tm in (_ATTN_TM, 128):
+        if n % tm == 0:
+            return tm
+    return n
+
+
+def fused_attention_ok(q, k, v, mask) -> bool:
+    """Shape gate for the fused kernel (layers.mha_attention dispatches;
+    the on-TPU check lives in the dispatcher, not here — tests drive the
+    kernel in interpret mode through this same gate)."""
+    if mask is not None or q.ndim != 4:
+        return False
+    D = q.shape[-1]
+    Nq, M = q.shape[2], k.shape[2]
+    return (
+        D % 128 == 0
+        and D == v.shape[-1]
+        and M == v.shape[2]
+        and Nq % 128 == 0
+        and M % 128 == 0
+        and Nq % _attn_tm(Nq) == 0
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_attention(q, k, v, scale: float):
+    """softmax(q k^T * scale) v with the score plane never leaving VMEM.
+
+    q: (BH, Nq, D), k/v: (BH, M, D); returns (BH, Nq, D) in q.dtype.
+    Matmul inputs bf16 / f32 accumulation (== XLA DEFAULT for f32 on TPU);
+    softmax exact f32. Semantics == layers.attention (reference
+    registration/models/dcp.py:26-32) up to DEFAULT-precision rounding.
+    """
+    return _attn_forward(q, k, v, scale)
+
+
+def _attn_specs(BH, Nq, M, D, tm):
+    return [
+        pl.BlockSpec((1, tm, D), lambda bh, t: (bh, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, M, D), lambda bh, t: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, M, D), lambda bh, t: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _attn_forward(q, k, v, scale):
+    BH, Nq, D = q.shape
+    M = k.shape[1]
+    tm = _attn_tm(Nq)
+    return pl.pallas_call(
+        functools.partial(_attn_fwd_kernel, scale=float(scale)),
+        grid=(BH, Nq // tm),
+        in_specs=_attn_specs(BH, Nq, M, D, tm),
+        out_specs=pl.BlockSpec((1, tm, D), lambda bh, t: (bh, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, Nq, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * Nq * M * D,
+            bytes_accessed=BH * (Nq * D * 8 + M * D * 8),
+            transcendentals=BH * Nq * M,
+        ),
+        interpret=_interpret(),
+    )(q, k, v)
+
+
+def _attn_fwd(q, k, v, scale):
+    return _attn_forward(q, k, v, scale), (q, k, v)
+
+
+def _attn_bwd(scale, res, d_out):
+    q, k, v = res
+    BH, Nq, D = q.shape
+    M = k.shape[1]
+    tm = _attn_tm(Nq)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=float(scale)),
+        grid=(BH, Nq // tm),
+        in_specs=_attn_specs(BH, Nq, M, D, tm) + [
+            pl.BlockSpec((1, tm, D), lambda bh, t: (bh, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tm, D), lambda bh, t: (bh, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, D), lambda bh, t: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, D), lambda bh, t: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Nq, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH, M, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH, M, D), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * BH * Nq * M * D,
+            bytes_accessed=BH * (2 * Nq * D * 8 + 3 * M * D * 8),
+            transcendentals=BH * Nq * M,
+        ),
+        interpret=_interpret(),
+    )(q, k, v, d_out)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+fused_attention.defvjp(_attn_fwd, _attn_bwd)

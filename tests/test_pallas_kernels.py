@@ -370,3 +370,50 @@ def test_knn_two_level_fallback_group_collision(rng):
     np.testing.assert_allclose(np.sort(np.asarray(d_p)),
                                np.sort(np.asarray(d_r)),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_attention_matches_dense(rng):
+    """Fused attention kernel (interpret mode) vs a dense golden that
+    reproduces the kernel's arithmetic (bf16 matmul inputs / f32 softmax —
+    XLA DEFAULT TPU precision), plus a looser check vs full-f32 attention."""
+    BH, Nq, M, D = 3, 256, 384, 128
+    q = jnp.asarray(rng.standard_normal((BH, Nq, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((BH, M, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((BH, M, D)).astype(np.float32))
+    scale = 1.0 / np.sqrt(D)
+
+    def golden(q, k, v):
+        s = jnp.einsum(
+            "bnd,bmd->bnm", q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum(
+            "bnm,bmd->bnd", p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+
+    out = pallas_kernels.fused_attention(q, k, v, scale)
+    ref = golden(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+    # vs full-f32 dense attention: only bf16 input rounding apart.
+    s = jnp.einsum("bnd,bmd->bnm", q, k) * scale
+    full = jnp.einsum("bnm,bmd->bnd", jax.nn.softmax(s, axis=-1), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                               rtol=5e-2, atol=5e-2)
+
+    # Gradient parity vs the golden's autodiff for every input.
+    g = jnp.asarray(rng.standard_normal((BH, Nq, D)).astype(np.float32))
+
+    def loss_kernel(q, k, v):
+        return jnp.sum(pallas_kernels.fused_attention(q, k, v, scale) * g)
+
+    def loss_golden(q, k, v):
+        return jnp.sum(golden(q, k, v) * g)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    gg = jax.grad(loss_golden, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gk, gg, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-2, atol=3e-2,
+            err_msg=f"d{name} mismatch")
