@@ -27,25 +27,70 @@ _HI = lax.Precision.HIGHEST
 
 
 class DGCNN(nn.Module):
-    """Edge-conv embedding (reference dcp.py:269-301). (B,N,3) -> (B,N,emb)."""
+    """Edge-conv embedding (reference dcp.py:269-301). (B,N,3) -> (B,N,emb).
+
+    Block 1 runs in XLA on the cheap 6-channel edge tensor; blocks 2-4 are
+    the fused per-edge chain (ops.edge_mlp) whose (B, 20, N, ch) f32
+    activations — DCP's dominant non-attention HBM traffic — never leave
+    VMEM. The edge tensor is transposed to (B, k, N, C) once while it is
+    still 6 channels wide.
+    """
 
     emb_dims: int = 512
+    fused_chs: tuple = (64, 128, 256)
 
     @nn.compact
     def __call__(self, x, train: bool):
-        feat = layers.get_graph_feature(x, k=20, minus_center=False)  # (B,N,20,6)
+        from mvp_benchmark_tpu import ops
 
-        def block(h, ch):
-            h = layers.TorchDense(ch, use_bias=False)(h)
-            h = layers.BatchNorm()(h, train)
-            h = nn.relu(h)
-            return h, jnp.max(h, axis=2)  # max over neighbours -> (B,N,ch)
+        feat = layers.get_graph_feature(x, k=20, minus_center=False)
+        feat = jnp.swapaxes(feat, 1, 2)                  # (B,20,N,6)
 
-        feat, x1 = block(feat, 64)
-        feat, x2 = block(feat, 64)
-        feat, x3 = block(feat, 128)
-        feat, x4 = block(feat, 256)
-        cat = jnp.concatenate([x1, x2, x3, x4], axis=-1)  # (B,N,512)
+        h = layers.TorchDense(64, use_bias=False)(feat)
+        h = layers.BatchNorm()(h, train)
+        a1 = nn.relu(h)                                  # (B,20,N,64)
+        x1 = jnp.max(a1, axis=1)
+
+        cins = (64,) + self.fused_chs[:-1]
+        Ws = tuple(
+            self.param(f"fused_W{i}", layers.torch_linear_init, (cin, ch))
+            for i, (cin, ch) in enumerate(zip(cins, self.fused_chs))
+        )
+        gammas = tuple(
+            self.param(f"fused_scale{i}", nn.initializers.ones, (ch,))
+            for i, ch in enumerate(self.fused_chs)
+        )
+        betas = tuple(
+            self.param(f"fused_bias{i}", nn.initializers.zeros, (ch,))
+            for i, ch in enumerate(self.fused_chs)
+        )
+        ra_means = [
+            self.variable("batch_stats", f"fused_mean{i}",
+                          lambda s: jnp.zeros(s, jnp.float32), (ch,))
+            for i, ch in enumerate(self.fused_chs)
+        ]
+        ra_vars = [
+            self.variable("batch_stats", f"fused_var{i}",
+                          lambda s: jnp.ones(s, jnp.float32), (ch,))
+            for i, ch in enumerate(self.fused_chs)
+        ]
+
+        xs, batch_stats = ops.edge_mlp(
+            a1, Ws, gammas, betas,
+            tuple(v.value for v in ra_means),
+            tuple(v.value for v in ra_vars),
+            train,
+        )
+        if train and batch_stats is not None and (
+            self.is_mutable_collection("batch_stats")
+        ):
+            # flax convention: ra = momentum * ra + (1 - momentum) * batch
+            # (momentum 0.9 == torch BatchNorm2d default 0.1).
+            for rm, rv, st in zip(ra_means, ra_vars, batch_stats):
+                rm.value = 0.9 * rm.value + 0.1 * st[0]
+                rv.value = 0.9 * rv.value + 0.1 * st[1]
+
+        cat = jnp.concatenate([x1] + list(xs), axis=-1)  # (B,N,512)
         h = layers.TorchDense(self.emb_dims, use_bias=False)(cat)
         h = layers.BatchNorm()(h, train)
         return nn.relu(h)

@@ -207,12 +207,13 @@ class Model(nn.Module):
         t = jnp.zeros((B, 3))
         loss = 0.0
 
-        # The (B, M, M, 32) similarity stack is pure HBM bandwidth at scale
-        # (~5 GB/iter of f32 traffic = the whole IDAM step cost); its fat
-        # intermediates run bf16 (BN statistics, softmaxes and losses stay
-        # f32). See PERF.md for the measured step-time and convergence
-        # evidence.
-        sim_dt = jnp.bfloat16
+        # Measured (PERF.md round 3): running the (B, M, M, 32) similarity
+        # stack in bf16 REGRESSES 301 -> 575 ms/step — the f32<->bf16
+        # relayout/cast traffic at every BN boundary exceeds the bandwidth
+        # saved, exactly like round-2's full-model bf16 run (539 ms). The
+        # stack stays f32; the real fix is a fused recompute-from-dd Pallas
+        # kernel (roadmap).
+        sim_dt = None
         for i in range(self.num_iters):
             # Similarity-matrix conv over virtually-concatenated
             # [src_emb_i, tgt_emb_j, dist_ij, dir_ij] features: the first

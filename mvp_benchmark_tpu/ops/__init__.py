@@ -44,6 +44,8 @@ from mvp_benchmark_tpu.ops.dispatch import (
     grouping_split,
     knn_indices,
     knn_points,
+    edge_mlp,
+    edge_mlp_supported,
     sa_attention,
     sa_attention_supported,
     three_interpolate,
@@ -73,6 +75,8 @@ __all__ = [
     "knn_indices",
     "knn_points",
     "knn_query",
+    "edge_mlp",
+    "edge_mlp_supported",
     "sa_attention",
     "sa_attention_supported",
     "square_distance",

@@ -205,3 +205,32 @@ def three_nn_upsampling(target_points, source_points):
     inv = 1.0 / dist
     weight = inv / jnp.sum(inv, axis=2, keepdims=True)
     return idx, weight
+
+
+def edge_mlp_supported(a1) -> bool:
+    """True when the fused DGCNN-chain kernel can run (TPU + tileable)."""
+    from mvp_benchmark_tpu.ops import pallas_kernels
+
+    return _on_tpu() and pallas_kernels.edge_mlp_supported(a1)
+
+
+def edge_mlp(a1, Ws, gammas, betas, means, variances, train: bool):
+    """Fused per-edge Dense+BN+relu chain with per-layer max-pool over k
+    (DCP's DGCNN blocks 2-4; see pallas_kernels.edge_mlp_train).
+
+    Returns (xs, batch_stats) in train mode (batch_stats = tuple of (2, ch)
+    [mean, biased var]); (xs, None) in eval mode. Falls back to the jnp
+    reference (same arithmetic) off-TPU.
+    """
+    from mvp_benchmark_tpu.ops import pallas_kernels
+
+    if edge_mlp_supported(a1):
+        if train:
+            return pallas_kernels.edge_mlp_train(a1, Ws, gammas, betas)
+        return (pallas_kernels.edge_mlp_eval(
+            a1, Ws, gammas, betas, means, variances), None)
+    if train:
+        return pallas_kernels.edge_mlp_reference(
+            a1, Ws, gammas, betas, train=True)
+    return (pallas_kernels.edge_mlp_reference(
+        a1, Ws, gammas, betas, means, variances, train=False), None)

@@ -2010,3 +2010,475 @@ def _attn_bwd(scale, res, d_out):
 
 
 fused_attention.defvjp(_attn_fwd, _attn_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused per-edge MLP chain (DCP's DGCNN blocks 2-4)
+# ---------------------------------------------------------------------------
+#
+# The reference DGCNN (registration/models/dcp.py:269-301) runs
+# Conv2d+BN+ReLU over the (B, k, N, ch) edge tensor four times and
+# max-pools each block over k. In XLA, every block materializes its
+# (B, 20, 2048, ch) activations in HBM (f32: 0.7-2.7 GB each) several
+# times forward and backward — DCP's dominant non-attention cost. But the
+# whole chain is a *per-edge* MLP: edge (b, n, j) never mixes with other
+# edges except through BatchNorm's global batch statistics. This section
+# fuses blocks 2-4 into Pallas passes that keep every intermediate in
+# registers and emit only the per-block max-pools, the BN batch statistics,
+# and the (tiny) parameter gradients.
+#
+# BN needs exact global statistics, so the chain runs as sequential passes
+# (grid-wide f32 accumulators, sequential TPU grid):
+#   fwd: stat pass per layer l (recompute layers < l in registers,
+#        accumulate sum/sumsq of h_l), then one final pass emitting the
+#        three max-pools. 4 passes, ~5x the chain's matmul flops — trivial
+#        next to the HBM traffic they replace (input streams bf16).
+#   bwd: mirror top-down. BN backward needs sum(dy) and sum(dy*hhat), so
+#        pass t accumulates S_t for layer t while applying the (already
+#        complete) S_{t+1..} to push gradients down one layer; the final
+#        pass emits d_a1. dW_l accumulates in the pass that first holds
+#        both a_{l-1} and dh_l; dgamma/dbeta fall out of S_l directly.
+#
+# Max-pool gradient routes to every j attaining the max (exact ties split
+# nowhere in practice; relu's zero-plateau ties carry zero dy anyway).
+
+_EM_TM = 256
+_EM_EPS = 1e-5
+
+
+def _em_bn(h, st_ref, g_ref, b_ref):
+    """relu(gamma * (h - mu) * rsqrt(var + eps) + beta); returns (hhat, a)."""
+    mu = st_ref[0, :].astype(jnp.float32)
+    var = st_ref[1, :].astype(jnp.float32)
+    hhat = (h - mu[None, :]) * lax.rsqrt(var + _EM_EPS)[None, :]
+    g = g_ref[0, :].astype(jnp.float32)
+    b = b_ref[0, :].astype(jnp.float32)
+    return hhat, jnp.maximum(hhat * g[None, :] + b[None, :], 0.0)
+
+
+def _em_chain(a1j, W_refs, g_refs, b_refs, st_refs, upto):
+    """Forward through layers 0..upto-1 from one j-slab (TM, C1) f32.
+
+    Returns (h_list, hhat_list, a_list); h_{upto} is appended to h_list
+    when upto < n_layers (its BN stats are what the caller accumulates).
+    """
+    hs, hhats, acts = [], [], []
+    a = a1j
+    for l in range(upto):
+        h = jnp.dot(a.astype(jnp.bfloat16), W_refs[l][:].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        hhat, a = _em_bn(h, st_refs[l], g_refs[l], b_refs[l])
+        hs.append(h)
+        hhats.append(hhat)
+        acts.append(a)
+    if upto < len(W_refs):
+        h = jnp.dot(a.astype(jnp.bfloat16),
+                    W_refs[upto][:].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        hs.append(h)
+    return hs, hhats, acts
+
+
+def _em_stat_kernel(a1_ref, W0, W1, W2, g0, g1, g2, b0, b1, b2,
+                    s0, s1, s2, out_ref, *, upto, k, tm):
+    """Accumulate [sum(h_upto), sum(h_upto^2)] over the whole edge set."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    W_refs, g_refs, b_refs = (W0, W1, W2), (g0, g1, g2), (b0, b1, b2)
+    st_refs = (s0, s1, s2)
+    ch = out_ref.shape[1]
+
+    def body(j, carry):
+        s, ss = carry
+        a1j = a1_ref[0, pl.ds(j, 1), :, :][0].astype(jnp.float32)
+        hs, _, _ = _em_chain(a1j, W_refs, g_refs, b_refs, st_refs, upto)
+        h = hs[upto]
+        return (s + jnp.sum(h, axis=0, keepdims=True),
+                ss + jnp.sum(h * h, axis=0, keepdims=True))
+
+    z = jnp.zeros((1, ch), jnp.float32)
+    s, ss = lax.fori_loop(0, k, body, (z, z))
+
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[0:1, :] += s
+    out_ref[1:2, :] += ss
+
+
+def _em_final_kernel(a1_ref, W0, W1, W2, g0, g1, g2, b0, b1, b2,
+                     s0, s1, s2, x0_ref, x1_ref, x2_ref, *, k, tm):
+    """Emit the three per-layer max-pools over j (the only HBM outputs)."""
+    W_refs, g_refs, b_refs = (W0, W1, W2), (g0, g1, g2), (b0, b1, b2)
+    st_refs = (s0, s1, s2)
+    x_refs = (x0_ref, x1_ref, x2_ref)
+    neg = -jnp.inf
+
+    def body(j, carry):
+        a1j = a1_ref[0, pl.ds(j, 1), :, :][0].astype(jnp.float32)
+        _, _, acts = _em_chain(a1j, W_refs, g_refs, b_refs, st_refs, 3)
+        return tuple(jnp.maximum(c, a) for c, a in zip(carry, acts))
+
+    init = tuple(jnp.full((tm, r.shape[2]), neg, jnp.float32)
+                 for r in x_refs)
+    maxes = lax.fori_loop(0, k, body, init)
+    for r, m in zip(x_refs, maxes):
+        r[0] = m.astype(r.dtype)
+
+
+def _em_bnbwd(dy, hhat, st_ref, g_ref, S_ref, E):
+    """BatchNorm backward: dh from dy with the global sums S=[sum dy,
+    sum dy*hhat] (training mode: mu/var are batch statistics)."""
+    var = st_ref[1, :].astype(jnp.float32)
+    g = g_ref[0, :].astype(jnp.float32)
+    m1 = (S_ref[0, :] / E).astype(jnp.float32)
+    m2 = (S_ref[1, :] / E).astype(jnp.float32)
+    scale = (g * lax.rsqrt(var + _EM_EPS))[None, :]
+    return scale * (dy - m1[None, :] - hhat * m2[None, :])
+
+
+
+def _em_bwd_kernel(a1_ref, W0, W1, W2, g0, g1, g2, b0, b1, b2,
+                   s0, s1, s2, x0, x1, x2, gx0, gx1, gx2,
+                   S0, S1, S2, *outs, level, k, tm, E):
+    """One top-down backward pass over the fused chain.
+
+    level=2:  accumulate S_2 = [sum dy_2, sum dy_2*hhat_2]   outs=(S2,)
+    level=1:  apply S_2; accumulate S_1 and dW_2             outs=(S1, dW2)
+    level=0:  apply S_2,S_1; accumulate S_0 and dW_1         outs=(S0, dW1)
+    level=-1: apply all; emit d_a1 per edge, accumulate dW_0 outs=(da1, dW0)
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    W_refs, g_refs, b_refs = (W0, W1, W2), (g0, g1, g2), (b0, b1, b2)
+    st_refs, S_refs = (s0, s1, s2), (S0, S1, S2)
+    first = (b == 0) & (t == 0)
+
+    xs = [r[0].astype(jnp.float32) for r in (x0, x1, x2)]
+    gxs = [r[0].astype(jnp.float32) for r in (gx0, gx1, gx2)]
+
+    def dchain(a1j):
+        """Recompute fwd and push cotangents down to `level`.
+
+        Returns (dy_level, hhat_level, acts, dh_above) for level >= 0, or
+        (da1_edge, None, acts, dh_0) for level == -1; dh_above is the
+        BN-backward output of layer level+1 (None when level == 2).
+        """
+        hs, hhats, acts = _em_chain(a1j, W_refs, g_refs, b_refs, st_refs, 3)
+        d_carry = None
+        dh_above = None
+        for l in (2, 1, 0):
+            route = gxs[l] * (acts[l] == xs[l]).astype(jnp.float32)
+            d_al = route if d_carry is None else d_carry + route
+            dy = jnp.where(acts[l] > 0.0, d_al, 0.0)
+            if l == level:
+                return dy, hhats[l], acts, dh_above
+            dh = _em_bnbwd(dy, hhats[l], st_refs[l], g_refs[l],
+                           S_refs[l], E)
+            dh_above = dh
+            d_carry = jnp.dot(
+                dh.astype(jnp.bfloat16),
+                W_refs[l][:].astype(jnp.bfloat16).T,
+                preferred_element_type=jnp.float32)
+        return d_carry, None, acts, dh_above   # level == -1
+
+    def dwT(a, dh):
+        """a^T dh with bf16 inputs / f32 accumulation."""
+        return lax.dot_general(
+            a.astype(jnp.bfloat16), dh.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    for o in outs:
+        @pl.when(first)
+        def _(o=o):
+            if o.shape[:2] != (1, k):   # d_a1 blocks are fully written
+                o[...] = jnp.zeros_like(o)
+
+    def load_a1(j):
+        return a1_ref[0, pl.ds(j, 1), :, :][0].astype(jnp.float32)
+
+    if level == 2:
+        ch = outs[0].shape[1]
+        z = jnp.zeros((1, ch), jnp.float32)
+
+        def body(j, carry):
+            s, ss = carry
+            dy, hhat, _, _ = dchain(load_a1(j))
+            return (s + jnp.sum(dy, axis=0, keepdims=True),
+                    ss + jnp.sum(dy * hhat, axis=0, keepdims=True))
+
+        s, ss = lax.fori_loop(0, k, body, (z, z))
+        outs[0][0:1, :] += s
+        outs[0][1:2, :] += ss
+    elif level >= 0:
+        ch = outs[0].shape[1]
+        z = jnp.zeros((1, ch), jnp.float32)
+        zw = jnp.zeros(outs[1].shape, jnp.float32)
+
+        def body(j, carry):
+            s, ss, dw = carry
+            dy, hhat, acts, dh_above = dchain(load_a1(j))
+            return (s + jnp.sum(dy, axis=0, keepdims=True),
+                    ss + jnp.sum(dy * hhat, axis=0, keepdims=True),
+                    dw + dwT(acts[level], dh_above))
+
+        s, ss, dw = lax.fori_loop(0, k, body, (z, z, zw))
+        outs[0][0:1, :] += s
+        outs[0][1:2, :] += ss
+        outs[1][...] += dw
+    else:
+        zw = jnp.zeros(outs[1].shape, jnp.float32)
+
+        def body(j, dw):
+            a1j = load_a1(j)
+            da1, _, _, dh0 = dchain(a1j)
+            outs[0][0, pl.ds(j, 1), :, :] = da1[None].astype(
+                outs[0].dtype)
+            return dw + dwT(a1j, dh0)
+
+        dw = lax.fori_loop(0, k, body, zw)
+        outs[1][...] += dw
+
+
+def _em_tm(n: int) -> int:
+    for tm in (_EM_TM, 128, 64, 32, 16, 8):
+        if n % tm == 0:
+            return tm
+    return n
+
+
+def _em_const(shape):
+    return pl.BlockSpec(shape, lambda b, t: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _em_in_specs(B, k, N, C1, tm, chs, with_bwd):
+    a1 = pl.BlockSpec((1, k, tm, C1), lambda b, t: (b, 0, t, 0),
+                      memory_space=pltpu.VMEM)
+    cins = (C1,) + chs[:-1]
+    Ws = [_em_const((cin, ch)) for cin, ch in zip(cins, chs)]
+    gs = [_em_const((1, ch)) for ch in chs]
+    bs = [_em_const((1, ch)) for ch in chs]
+    sts = [_em_const((2, ch)) for ch in chs]
+    specs = [a1] + Ws + gs + bs + sts
+    if with_bwd:
+        xg = [pl.BlockSpec((1, tm, ch), lambda b, t: (b, t, 0),
+                           memory_space=pltpu.VMEM) for ch in chs]
+        specs += xg + xg + [_em_const((2, ch)) for ch in chs]
+    return specs
+
+
+def _em_args(a1, Ws, gammas, betas, stats):
+    chs = tuple(W.shape[1] for W in Ws)
+    sts = list(stats) + [jnp.zeros((2, ch), jnp.float32)
+                         for ch in chs[len(stats):]]
+    return ([a1] + list(Ws)
+            + [g.reshape(1, -1).astype(jnp.float32) for g in gammas]
+            + [b.reshape(1, -1).astype(jnp.float32) for b in betas]
+            + [s.astype(jnp.float32) for s in sts])
+
+
+def _edge_mlp_stat_pass(a1, Ws, gammas, betas, stats, upto):
+    B, k, N, C1 = a1.shape
+    tm = _em_tm(N)
+    chs = tuple(W.shape[1] for W in Ws)
+    return pl.pallas_call(
+        functools.partial(_em_stat_kernel, upto=upto, k=k, tm=tm),
+        grid=(B, N // tm),
+        in_specs=_em_in_specs(B, k, N, C1, tm, chs, with_bwd=False),
+        out_specs=_em_const((2, chs[upto])),
+        out_shape=jax.ShapeDtypeStruct((2, chs[upto]), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * k * N * 64 * 256,
+            bytes_accessed=a1.size * a1.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(*_em_args(a1, Ws, gammas, betas, stats))
+
+
+def _edge_mlp_final_pass(a1, Ws, gammas, betas, stats):
+    B, k, N, C1 = a1.shape
+    tm = _em_tm(N)
+    chs = tuple(W.shape[1] for W in Ws)
+    return pl.pallas_call(
+        functools.partial(_em_final_kernel, k=k, tm=tm),
+        grid=(B, N // tm),
+        in_specs=_em_in_specs(B, k, N, C1, tm, chs, with_bwd=False),
+        out_specs=[pl.BlockSpec((1, tm, ch), lambda b, t: (b, t, 0),
+                                memory_space=pltpu.VMEM) for ch in chs],
+        out_shape=[jax.ShapeDtypeStruct((B, N, ch), jnp.float32)
+                   for ch in chs],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * k * N * 64 * 256,
+            bytes_accessed=a1.size * a1.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(*_em_args(a1, Ws, gammas, betas, stats))
+
+
+def _edge_mlp_bwd_pass(a1, Ws, gammas, betas, stats, xs, gxs, Ss, level):
+    B, k, N, C1 = a1.shape
+    tm = _em_tm(N)
+    chs = tuple(W.shape[1] for W in Ws)
+    cins = (C1,) + chs[:-1]
+    assert len(Ss) == len(chs), "Ss must be indexed per layer"
+    Ss_full = list(Ss)
+    if level == 2:
+        out_specs = [_em_const((2, chs[2]))]
+        out_shape = [jax.ShapeDtypeStruct((2, chs[2]), jnp.float32)]
+    elif level >= 0:
+        out_specs = [_em_const((2, chs[level])),
+                     _em_const((cins[level + 1], chs[level + 1]))]
+        out_shape = [
+            jax.ShapeDtypeStruct((2, chs[level]), jnp.float32),
+            jax.ShapeDtypeStruct((cins[level + 1], chs[level + 1]),
+                                 jnp.float32),
+        ]
+    else:
+        out_specs = [
+            pl.BlockSpec((1, k, tm, C1), lambda b, t: (b, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            _em_const((cins[0], chs[0])),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((B, k, N, C1), jnp.float32),
+            jax.ShapeDtypeStruct((cins[0], chs[0]), jnp.float32),
+        ]
+    outs = pl.pallas_call(
+        functools.partial(_em_bwd_kernel, level=level, k=k, tm=tm,
+                          E=float(B * k * N)),
+        grid=(B, N // tm),
+        in_specs=_em_in_specs(B, k, N, C1, tm, chs, with_bwd=True),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * k * N * 64 * 256,
+            bytes_accessed=2 * a1.size * a1.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(*(_em_args(a1, Ws, gammas, betas, stats)
+        + [x.astype(jnp.float32) for x in xs]
+        + [g.astype(jnp.float32) for g in gxs]
+        + [s.astype(jnp.float32) for s in Ss_full]))
+    return outs
+
+
+def _edge_mlp_forward(a1, Ws, gammas, betas):
+    """Train forward: sequential stat passes then the pooled-output pass.
+
+    Returns (xs tuple of (B, N, ch_l) f32, stats tuple of (2, ch_l)
+    [batch_mean, biased batch_var])."""
+    B, k, N, _ = a1.shape
+    E = float(B * k * N)
+    a1b = a1.astype(jnp.bfloat16)
+    stats = []
+    for p in range(len(Ws)):
+        sums = _edge_mlp_stat_pass(a1b, Ws, gammas, betas, stats, p)
+        mu = sums[0] / E
+        var = sums[1] / E - mu * mu
+        stats.append(jnp.stack([mu, jnp.maximum(var, 0.0)]))
+    xs = _edge_mlp_final_pass(a1b, Ws, gammas, betas, stats)
+    return tuple(xs), tuple(stats)
+
+
+@jax.custom_vjp
+def edge_mlp_train(a1, Ws, gammas, betas):
+    """Fused Dense+BN+relu chain over edges with per-layer max-pool over k.
+
+    a1: (B, k, N, C1) block-1 activations (any float dtype; matmul inputs
+    round to bf16 like XLA DEFAULT). Ws/gammas/betas: tuples per layer.
+    Returns (xs, stats); stats are stop-gradient batch statistics for the
+    running-average update. Semantics == reference DGCNN blocks 2-4
+    (registration/models/dcp.py:269-301) in training mode.
+    """
+    xs, stats = _edge_mlp_forward(a1, Ws, gammas, betas)
+    return xs, tuple(lax.stop_gradient(s) for s in stats)
+
+
+def _edge_mlp_train_fwd(a1, Ws, gammas, betas):
+    xs, stats = _edge_mlp_forward(a1, Ws, gammas, betas)
+    res = (a1, Ws, gammas, betas, stats, xs)
+    return (xs, tuple(lax.stop_gradient(s) for s in stats)), res
+
+
+
+
+def _edge_mlp_train_bwd(res, cts):
+    a1, Ws, gammas, betas, stats, xs = res
+    gxs, _ = cts                      # stat cotangents are stop-gradient
+    a1b = a1.astype(jnp.bfloat16)
+    chs = tuple(W.shape[1] for W in Ws)
+    Ss = [jnp.zeros((2, ch), jnp.float32) for ch in chs]
+
+    (S2,) = _edge_mlp_bwd_pass(a1b, Ws, gammas, betas, stats, xs, gxs,
+                               Ss, 2)
+    Ss[2] = S2
+    S1, dW2 = _edge_mlp_bwd_pass(a1b, Ws, gammas, betas, stats, xs, gxs,
+                                 Ss, 1)
+    Ss[1] = S1
+    S0, dW1 = _edge_mlp_bwd_pass(a1b, Ws, gammas, betas, stats, xs, gxs,
+                                 Ss, 0)
+    Ss[0] = S0
+    da1, dW0 = _edge_mlp_bwd_pass(a1b, Ws, gammas, betas, stats, xs, gxs,
+                                  Ss, -1)
+    dgammas = tuple(S[1].astype(g.dtype).reshape(g.shape)
+                    for S, g in zip(Ss, gammas))
+    dbetas = tuple(S[0].astype(b.dtype).reshape(b.shape)
+                   for S, b in zip(Ss, betas))
+    dWs = tuple(dw.astype(W.dtype) for dw, W in zip((dW0, dW1, dW2), Ws))
+    return da1.astype(a1.dtype), dWs, dgammas, dbetas
+
+
+edge_mlp_train.defvjp(_edge_mlp_train_fwd, _edge_mlp_train_bwd)
+
+
+def edge_mlp_eval(a1, Ws, gammas, betas, means, variances):
+    """Inference-mode fused chain using running statistics (single pass)."""
+    stats = [jnp.stack([m.astype(jnp.float32), v.astype(jnp.float32)])
+             for m, v in zip(means, variances)]
+    return tuple(_edge_mlp_final_pass(a1.astype(jnp.bfloat16), Ws, gammas,
+                                      betas, stats))
+
+
+def edge_mlp_reference(a1, Ws, gammas, betas, means=None, variances=None,
+                       train=True):
+    """jnp golden with the kernel's arithmetic (bf16 matmul inputs, f32
+    BN/stat math). Used as the CPU dispatch path and the parity baseline.
+
+    Returns (xs, stats) in train mode, xs otherwise. Max-pool gradient
+    routing under autodiff splits ties evenly (the kernel routes to every
+    tie); exact-tie gradients differ only on measure-zero inputs.
+    """
+    a = a1.astype(jnp.float32)
+    xs, stats = [], []
+    for l, W in enumerate(Ws):
+        h = jnp.einsum(
+            "bknc,cd->bknd", a.astype(jnp.bfloat16),
+            W.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+        if train:
+            mu = jnp.mean(h, axis=(0, 1, 2))
+            var = jnp.mean(h * h, axis=(0, 1, 2)) - mu * mu
+            var = jnp.maximum(var, 0.0)
+            stats.append(jnp.stack([mu, var]))
+        else:
+            mu = means[l].astype(jnp.float32)
+            var = variances[l].astype(jnp.float32)
+        hhat = (h - mu) * lax.rsqrt(var + _EM_EPS)
+        a = jnp.maximum(
+            hhat * gammas[l].astype(jnp.float32)
+            + betas[l].astype(jnp.float32), 0.0)
+        xs.append(jnp.max(a, axis=1))
+    if train:
+        return tuple(xs), tuple(lax.stop_gradient(s) for s in stats)
+    return tuple(xs)
+
+
+def edge_mlp_supported(a1) -> bool:
+    """Kernel shape gate: lane-friendly channel width and tileable N."""
+    B, k, N, C1 = a1.shape
+    return C1 % 8 == 0 and N % 8 == 0 and N >= 8
