@@ -29,15 +29,16 @@ _HI = lax.Precision.HIGHEST
 class DGCNN(nn.Module):
     """Edge-conv embedding (reference dcp.py:269-301). (B,N,3) -> (B,N,emb).
 
-    Block 1 runs in XLA on the cheap 6-channel edge tensor; blocks 2-4 are
-    the fused per-edge chain (ops.edge_mlp) whose (B, 20, N, ch) f32
-    activations — DCP's dominant non-attention HBM traffic — never leave
-    VMEM. The edge tensor is transposed to (B, k, N, C) once while it is
-    still 6 channels wide.
+    All four edge-conv blocks run as one fused per-edge chain
+    (ops.edge_mlp): the (B, 20, N, ch) f32 activations — DCP's dominant
+    non-attention HBM traffic — never leave VMEM; only the 6-channel edge
+    tensor (zero-padded to 8 lanes) streams in, bf16. The zero pad is
+    transparent: W0's two pad rows see zero input, so their gradient is
+    exactly zero and is sliced off.
     """
 
     emb_dims: int = 512
-    fused_chs: tuple = (64, 128, 256)
+    fused_chs: tuple = (64, 64, 128, 256)
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -45,17 +46,14 @@ class DGCNN(nn.Module):
 
         feat = layers.get_graph_feature(x, k=20, minus_center=False)
         feat = jnp.swapaxes(feat, 1, 2)                  # (B,20,N,6)
+        a1 = jnp.pad(feat, ((0, 0), (0, 0), (0, 0), (0, 2)))
 
-        h = layers.TorchDense(64, use_bias=False)(feat)
-        h = layers.BatchNorm()(h, train)
-        a1 = nn.relu(h)                                  # (B,20,N,64)
-        x1 = jnp.max(a1, axis=1)
-
-        cins = (64,) + self.fused_chs[:-1]
+        cins = (6,) + self.fused_chs[:-1]
         Ws = tuple(
             self.param(f"fused_W{i}", layers.torch_linear_init, (cin, ch))
             for i, (cin, ch) in enumerate(zip(cins, self.fused_chs))
         )
+        Ws = (jnp.pad(Ws[0], ((0, 2), (0, 0))),) + Ws[1:]
         gammas = tuple(
             self.param(f"fused_scale{i}", nn.initializers.ones, (ch,))
             for i, ch in enumerate(self.fused_chs)
@@ -90,7 +88,7 @@ class DGCNN(nn.Module):
                 rm.value = 0.9 * rm.value + 0.1 * st[0]
                 rv.value = 0.9 * rv.value + 0.1 * st[1]
 
-        cat = jnp.concatenate([x1] + list(xs), axis=-1)  # (B,N,512)
+        cat = jnp.concatenate(list(xs), axis=-1)         # (B,N,512)
         h = layers.TorchDense(self.emb_dims, use_bias=False)(cat)
         h = layers.BatchNorm()(h, train)
         return nn.relu(h)

@@ -2013,7 +2013,7 @@ fused_attention.defvjp(_attn_fwd, _attn_bwd)
 
 
 # ---------------------------------------------------------------------------
-# Fused per-edge MLP chain (DCP's DGCNN blocks 2-4)
+# Fused per-edge MLP chain (DCP's DGCNN edge-conv blocks)
 # ---------------------------------------------------------------------------
 #
 # The reference DGCNN (registration/models/dcp.py:269-301) runs
@@ -2023,16 +2023,16 @@ fused_attention.defvjp(_attn_fwd, _attn_bwd)
 # times forward and backward — DCP's dominant non-attention cost. But the
 # whole chain is a *per-edge* MLP: edge (b, n, j) never mixes with other
 # edges except through BatchNorm's global batch statistics. This section
-# fuses blocks 2-4 into Pallas passes that keep every intermediate in
-# registers and emit only the per-block max-pools, the BN batch statistics,
-# and the (tiny) parameter gradients.
+# fuses an L-layer Dense+BN+relu chain into Pallas passes that keep every
+# intermediate in registers and emit only the per-block max-pools, the BN
+# batch statistics, and the (tiny) parameter gradients.
 #
 # BN needs exact global statistics, so the chain runs as sequential passes
 # (grid-wide f32 accumulators, sequential TPU grid):
 #   fwd: stat pass per layer l (recompute layers < l in registers,
 #        accumulate sum/sumsq of h_l), then one final pass emitting the
-#        three max-pools. 4 passes, ~5x the chain's matmul flops — trivial
-#        next to the HBM traffic they replace (input streams bf16).
+#        per-layer max-pools. L+1 passes, ~L/2 x the chain's matmul flops —
+#        trivial next to the HBM traffic they replace (input streams bf16).
 #   bwd: mirror top-down. BN backward needs sum(dy) and sum(dy*hhat), so
 #        pass t accumulates S_t for layer t while applying the (already
 #        complete) S_{t+1..} to push gradients down one layer; the final
@@ -2044,6 +2044,17 @@ fused_attention.defvjp(_attn_fwd, _attn_bwd)
 
 _EM_TM = 256
 _EM_EPS = 1e-5
+
+
+def _em_split(refs, nl):
+    """Parse the flat pallas ref list: a1, W*nl, gamma*nl, beta*nl, st*nl,
+    then whatever the caller appended (bwd streams / out refs)."""
+    a1 = refs[0]
+    W = tuple(refs[1:1 + nl])
+    g = tuple(refs[1 + nl:1 + 2 * nl])
+    b = tuple(refs[1 + 2 * nl:1 + 3 * nl])
+    st = tuple(refs[1 + 3 * nl:1 + 4 * nl])
+    return a1, W, g, b, st, list(refs[1 + 4 * nl:])
 
 
 def _em_bn(h, st_ref, g_ref, b_ref):
@@ -2079,13 +2090,12 @@ def _em_chain(a1j, W_refs, g_refs, b_refs, st_refs, upto):
     return hs, hhats, acts
 
 
-def _em_stat_kernel(a1_ref, W0, W1, W2, g0, g1, g2, b0, b1, b2,
-                    s0, s1, s2, out_ref, *, upto, k, tm):
+def _em_stat_kernel(*refs, upto, k, tm, nl):
     """Accumulate [sum(h_upto), sum(h_upto^2)] over the whole edge set."""
     b = pl.program_id(0)
     t = pl.program_id(1)
-    W_refs, g_refs, b_refs = (W0, W1, W2), (g0, g1, g2), (b0, b1, b2)
-    st_refs = (s0, s1, s2)
+    a1_ref, W_refs, g_refs, b_refs, st_refs, rest = _em_split(refs, nl)
+    out_ref = rest[0]
     ch = out_ref.shape[1]
 
     def body(j, carry):
@@ -2107,17 +2117,14 @@ def _em_stat_kernel(a1_ref, W0, W1, W2, g0, g1, g2, b0, b1, b2,
     out_ref[1:2, :] += ss
 
 
-def _em_final_kernel(a1_ref, W0, W1, W2, g0, g1, g2, b0, b1, b2,
-                     s0, s1, s2, x0_ref, x1_ref, x2_ref, *, k, tm):
-    """Emit the three per-layer max-pools over j (the only HBM outputs)."""
-    W_refs, g_refs, b_refs = (W0, W1, W2), (g0, g1, g2), (b0, b1, b2)
-    st_refs = (s0, s1, s2)
-    x_refs = (x0_ref, x1_ref, x2_ref)
+def _em_final_kernel(*refs, k, tm, nl):
+    """Emit the per-layer max-pools over j (the only HBM outputs)."""
+    a1_ref, W_refs, g_refs, b_refs, st_refs, x_refs = _em_split(refs, nl)
     neg = -jnp.inf
 
     def body(j, carry):
         a1j = a1_ref[0, pl.ds(j, 1), :, :][0].astype(jnp.float32)
-        _, _, acts = _em_chain(a1j, W_refs, g_refs, b_refs, st_refs, 3)
+        _, _, acts = _em_chain(a1j, W_refs, g_refs, b_refs, st_refs, nl)
         return tuple(jnp.maximum(c, a) for c, a in zip(carry, acts))
 
     init = tuple(jnp.full((tm, r.shape[2]), neg, jnp.float32)
@@ -2138,37 +2145,37 @@ def _em_bnbwd(dy, hhat, st_ref, g_ref, S_ref, E):
     return scale * (dy - m1[None, :] - hhat * m2[None, :])
 
 
-
-def _em_bwd_kernel(a1_ref, W0, W1, W2, g0, g1, g2, b0, b1, b2,
-                   s0, s1, s2, x0, x1, x2, gx0, gx1, gx2,
-                   S0, S1, S2, *outs, level, k, tm, E):
+def _em_bwd_kernel(*refs, level, k, tm, E, nl):
     """One top-down backward pass over the fused chain.
 
-    level=2:  accumulate S_2 = [sum dy_2, sum dy_2*hhat_2]   outs=(S2,)
-    level=1:  apply S_2; accumulate S_1 and dW_2             outs=(S1, dW2)
-    level=0:  apply S_2,S_1; accumulate S_0 and dW_1         outs=(S0, dW1)
-    level=-1: apply all; emit d_a1 per edge, accumulate dW_0 outs=(da1, dW0)
+    level=nl-1:     accumulate S_{nl-1}                     outs=(S,)
+    nl-1>level>=0:  apply S above; accumulate S_level and
+                    dW_{level+1}                            outs=(S, dW)
+    level=-1:       apply all; emit d_a1, accumulate dW_0   outs=(da1, dW0)
     """
     b = pl.program_id(0)
     t = pl.program_id(1)
-    W_refs, g_refs, b_refs = (W0, W1, W2), (g0, g1, g2), (b0, b1, b2)
-    st_refs, S_refs = (s0, s1, s2), (S0, S1, S2)
+    a1_ref, W_refs, g_refs, b_refs, st_refs, rest = _em_split(refs, nl)
+    x_in = rest[:nl]
+    gx_in = rest[nl:2 * nl]
+    S_refs = rest[2 * nl:3 * nl]
+    outs = rest[3 * nl:]
     first = (b == 0) & (t == 0)
 
-    xs = [r[0].astype(jnp.float32) for r in (x0, x1, x2)]
-    gxs = [r[0].astype(jnp.float32) for r in (gx0, gx1, gx2)]
+    xs = [r[0].astype(jnp.float32) for r in x_in]
+    gxs = [r[0].astype(jnp.float32) for r in gx_in]
 
     def dchain(a1j):
         """Recompute fwd and push cotangents down to `level`.
 
         Returns (dy_level, hhat_level, acts, dh_above) for level >= 0, or
         (da1_edge, None, acts, dh_0) for level == -1; dh_above is the
-        BN-backward output of layer level+1 (None when level == 2).
+        BN-backward output of layer level+1 (None when level == nl-1).
         """
-        hs, hhats, acts = _em_chain(a1j, W_refs, g_refs, b_refs, st_refs, 3)
+        hs, hhats, acts = _em_chain(a1j, W_refs, g_refs, b_refs, st_refs, nl)
         d_carry = None
         dh_above = None
-        for l in (2, 1, 0):
+        for l in range(nl - 1, -1, -1):
             route = gxs[l] * (acts[l] == xs[l]).astype(jnp.float32)
             d_al = route if d_carry is None else d_carry + route
             dy = jnp.where(acts[l] > 0.0, d_al, 0.0)
@@ -2193,13 +2200,13 @@ def _em_bwd_kernel(a1_ref, W0, W1, W2, g0, g1, g2, b0, b1, b2,
     for o in outs:
         @pl.when(first)
         def _(o=o):
-            if o.shape[:2] != (1, k):   # d_a1 blocks are fully written
+            if o.ndim == 2:   # S / dW accumulators; d_a1 is fully written
                 o[...] = jnp.zeros_like(o)
 
     def load_a1(j):
         return a1_ref[0, pl.ds(j, 1), :, :][0].astype(jnp.float32)
 
-    if level == 2:
+    if level == nl - 1:
         ch = outs[0].shape[1]
         z = jnp.zeros((1, ch), jnp.float32)
 
@@ -2280,21 +2287,27 @@ def _em_args(a1, Ws, gammas, betas, stats):
             + [s.astype(jnp.float32) for s in sts])
 
 
+def _em_cost(B, k, N, chs, passes=1):
+    cins_chs = sum(a * b for a, b in zip((chs[0],) + chs[:-1], chs))
+    return pl.CostEstimate(
+        flops=2 * B * k * N * cins_chs * passes,
+        bytes_accessed=B * k * N * chs[0] * 4,
+        transcendentals=0,
+    )
+
+
 def _edge_mlp_stat_pass(a1, Ws, gammas, betas, stats, upto):
     B, k, N, C1 = a1.shape
     tm = _em_tm(N)
     chs = tuple(W.shape[1] for W in Ws)
+    nl = len(Ws)
     return pl.pallas_call(
-        functools.partial(_em_stat_kernel, upto=upto, k=k, tm=tm),
+        functools.partial(_em_stat_kernel, upto=upto, k=k, tm=tm, nl=nl),
         grid=(B, N // tm),
         in_specs=_em_in_specs(B, k, N, C1, tm, chs, with_bwd=False),
         out_specs=_em_const((2, chs[upto])),
         out_shape=jax.ShapeDtypeStruct((2, chs[upto]), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * k * N * 64 * 256,
-            bytes_accessed=a1.size * a1.dtype.itemsize,
-            transcendentals=0,
-        ),
+        cost_estimate=_em_cost(B, k, N, chs),
         interpret=_interpret(),
     )(*_em_args(a1, Ws, gammas, betas, stats))
 
@@ -2303,19 +2316,16 @@ def _edge_mlp_final_pass(a1, Ws, gammas, betas, stats):
     B, k, N, C1 = a1.shape
     tm = _em_tm(N)
     chs = tuple(W.shape[1] for W in Ws)
+    nl = len(Ws)
     return pl.pallas_call(
-        functools.partial(_em_final_kernel, k=k, tm=tm),
+        functools.partial(_em_final_kernel, k=k, tm=tm, nl=nl),
         grid=(B, N // tm),
         in_specs=_em_in_specs(B, k, N, C1, tm, chs, with_bwd=False),
         out_specs=[pl.BlockSpec((1, tm, ch), lambda b, t: (b, t, 0),
                                 memory_space=pltpu.VMEM) for ch in chs],
         out_shape=[jax.ShapeDtypeStruct((B, N, ch), jnp.float32)
                    for ch in chs],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * k * N * 64 * 256,
-            bytes_accessed=a1.size * a1.dtype.itemsize,
-            transcendentals=0,
-        ),
+        cost_estimate=_em_cost(B, k, N, chs),
         interpret=_interpret(),
     )(*_em_args(a1, Ws, gammas, betas, stats))
 
@@ -2324,12 +2334,12 @@ def _edge_mlp_bwd_pass(a1, Ws, gammas, betas, stats, xs, gxs, Ss, level):
     B, k, N, C1 = a1.shape
     tm = _em_tm(N)
     chs = tuple(W.shape[1] for W in Ws)
+    nl = len(Ws)
     cins = (C1,) + chs[:-1]
     assert len(Ss) == len(chs), "Ss must be indexed per layer"
-    Ss_full = list(Ss)
-    if level == 2:
-        out_specs = [_em_const((2, chs[2]))]
-        out_shape = [jax.ShapeDtypeStruct((2, chs[2]), jnp.float32)]
+    if level == nl - 1:
+        out_specs = [_em_const((2, chs[level]))]
+        out_shape = [jax.ShapeDtypeStruct((2, chs[level]), jnp.float32)]
     elif level >= 0:
         out_specs = [_em_const((2, chs[level])),
                      _em_const((cins[level + 1], chs[level + 1]))]
@@ -2348,24 +2358,19 @@ def _edge_mlp_bwd_pass(a1, Ws, gammas, betas, stats, xs, gxs, Ss, level):
             jax.ShapeDtypeStruct((B, k, N, C1), jnp.float32),
             jax.ShapeDtypeStruct((cins[0], chs[0]), jnp.float32),
         ]
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_em_bwd_kernel, level=level, k=k, tm=tm,
-                          E=float(B * k * N)),
+                          E=float(B * k * N), nl=nl),
         grid=(B, N // tm),
         in_specs=_em_in_specs(B, k, N, C1, tm, chs, with_bwd=True),
         out_specs=out_specs,
         out_shape=out_shape,
-        cost_estimate=pl.CostEstimate(
-            flops=6 * B * k * N * 64 * 256,
-            bytes_accessed=2 * a1.size * a1.dtype.itemsize,
-            transcendentals=0,
-        ),
+        cost_estimate=_em_cost(B, k, N, chs, passes=3),
         interpret=_interpret(),
     )(*(_em_args(a1, Ws, gammas, betas, stats)
         + [x.astype(jnp.float32) for x in xs]
         + [g.astype(jnp.float32) for g in gxs]
-        + [s.astype(jnp.float32) for s in Ss_full]))
-    return outs
+        + [s.astype(jnp.float32) for s in Ss]))
 
 
 def _edge_mlp_forward(a1, Ws, gammas, betas):
@@ -2390,11 +2395,11 @@ def _edge_mlp_forward(a1, Ws, gammas, betas):
 def edge_mlp_train(a1, Ws, gammas, betas):
     """Fused Dense+BN+relu chain over edges with per-layer max-pool over k.
 
-    a1: (B, k, N, C1) block-1 activations (any float dtype; matmul inputs
-    round to bf16 like XLA DEFAULT). Ws/gammas/betas: tuples per layer.
-    Returns (xs, stats); stats are stop-gradient batch statistics for the
-    running-average update. Semantics == reference DGCNN blocks 2-4
-    (registration/models/dcp.py:269-301) in training mode.
+    a1: (B, k, N, C1) edge features (any float dtype; matmul inputs round
+    to bf16 like XLA DEFAULT). Ws/gammas/betas: tuples per layer, any
+    length. Returns (xs, stats); stats are stop-gradient batch statistics
+    for the running-average update. Semantics == reference DGCNN edge-conv
+    blocks (registration/models/dcp.py:269-301) in training mode.
     """
     xs, stats = _edge_mlp_forward(a1, Ws, gammas, betas)
     return xs, tuple(lax.stop_gradient(s) for s in stats)
@@ -2406,31 +2411,31 @@ def _edge_mlp_train_fwd(a1, Ws, gammas, betas):
     return (xs, tuple(lax.stop_gradient(s) for s in stats)), res
 
 
-
-
 def _edge_mlp_train_bwd(res, cts):
     a1, Ws, gammas, betas, stats, xs = res
     gxs, _ = cts                      # stat cotangents are stop-gradient
     a1b = a1.astype(jnp.bfloat16)
+    nl = len(Ws)
     chs = tuple(W.shape[1] for W in Ws)
     Ss = [jnp.zeros((2, ch), jnp.float32) for ch in chs]
+    dWs = [None] * nl
 
-    (S2,) = _edge_mlp_bwd_pass(a1b, Ws, gammas, betas, stats, xs, gxs,
-                               Ss, 2)
-    Ss[2] = S2
-    S1, dW2 = _edge_mlp_bwd_pass(a1b, Ws, gammas, betas, stats, xs, gxs,
-                                 Ss, 1)
-    Ss[1] = S1
-    S0, dW1 = _edge_mlp_bwd_pass(a1b, Ws, gammas, betas, stats, xs, gxs,
-                                 Ss, 0)
-    Ss[0] = S0
+    outs = _edge_mlp_bwd_pass(a1b, Ws, gammas, betas, stats, xs, gxs,
+                              Ss, nl - 1)
+    Ss[nl - 1] = outs[0]
+    for level in range(nl - 2, -1, -1):
+        S, dW = _edge_mlp_bwd_pass(a1b, Ws, gammas, betas, stats, xs, gxs,
+                                   Ss, level)
+        Ss[level] = S
+        dWs[level + 1] = dW
     da1, dW0 = _edge_mlp_bwd_pass(a1b, Ws, gammas, betas, stats, xs, gxs,
                                   Ss, -1)
+    dWs[0] = dW0
     dgammas = tuple(S[1].astype(g.dtype).reshape(g.shape)
                     for S, g in zip(Ss, gammas))
     dbetas = tuple(S[0].astype(b.dtype).reshape(b.shape)
                    for S, b in zip(Ss, betas))
-    dWs = tuple(dw.astype(W.dtype) for dw, W in zip((dW0, dW1, dW2), Ws))
+    dWs = tuple(dw.astype(W.dtype) for dw, W in zip(dWs, Ws))
     return da1.astype(a1.dtype), dWs, dgammas, dbetas
 
 

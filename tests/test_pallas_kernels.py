@@ -490,6 +490,27 @@ class TestEdgeMLP:
                 assert np.quantile(err, 0.95) < 8e-2, f"d{name} bulk"
                 assert np.mean(err > 0.2) < 5e-3, f"d{name} tail"
 
+    def test_four_layer_parity(self, rng):
+        """DCP uses the chain at 4 layers (all DGCNN blocks fused); the
+        kernel is layer-count generic — pin forward + stats + grads."""
+        chs = (8, 8, 16, 16)
+        a1, Ws, gammas, betas = self._setup(rng, chs=chs)
+        xs_k, st_k = pallas_kernels.edge_mlp_train(a1, Ws, gammas, betas)
+        xs_r, st_r = pallas_kernels.edge_mlp_reference(a1, Ws, gammas, betas)
+        assert len(xs_k) == 4
+        for a, b in zip(list(xs_k) + list(st_k), list(xs_r) + list(st_r)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-2, atol=2e-3)
+        gs = [jnp.asarray(rng.standard_normal((2, 32, ch)).astype(np.float32))
+              for ch in chs]
+        gk, gr = self._grads(a1, Ws, gammas, betas, gs)
+        for tk, tr, name in zip(gk, gr, ("a1", "W", "gamma", "beta")):
+            for a, b in zip(jax.tree.leaves(tk), jax.tree.leaves(tr)):
+                a, b = np.asarray(a), np.asarray(b)
+                nb = np.linalg.norm(b)
+                assert np.linalg.norm(a - b) <= 2e-2 * nb + 1e-6, (
+                    f"d{name} normwise")
+
     def test_eval_parity(self, rng):
         a1, Ws, gammas, betas = self._setup(rng)
         means = tuple(jnp.asarray(
