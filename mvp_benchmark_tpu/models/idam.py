@@ -207,38 +207,54 @@ class Model(nn.Module):
         t = jnp.zeros((B, 3))
         loss = 0.0
 
-        # Measured (PERF.md round 3): running the (B, M, M, 32) similarity
-        # stack in bf16 REGRESSES 301 -> 575 ms/step — the f32<->bf16
-        # relayout/cast traffic at every BN boundary exceeds the bandwidth
-        # saved, exactly like round-2's full-model bf16 run (539 ms). The
-        # stack stays f32; the real fix is a fused recompute-from-dd Pallas
-        # kernel (roadmap).
-        sim_dt = None
+        # The whole (B, M, M, 32) similarity stack — DenseCat over the
+        # virtual [src_emb_i, tgt_emb_j, dist_ij, dir_ij] concat, BN, relu,
+        # Dense, {max_j head, Dense->BN->relu->Dense(1) logits} — runs as
+        # one fused Pallas kernel chain (ops.sim_mlp): the reference
+        # materializes the (B, M, M, 2*emb+4) stack and every intermediate
+        # in HBM (idam.py:267-279; ~2 GB/iter at reference scale), and even
+        # the virtual-concat XLA formulation used through round 2 paid ~6
+        # HBM round-trips per iteration on the (B, M, M, 32) tensors. The
+        # fused chain recomputes edges in VMEM and emits only the (B, M, M)
+        # logits, the (B, M, 32) max-pool, and the BN statistics.
+        # (Measured, PERF.md round 3: the earlier bf16-intermediates idea
+        # REGRESSED 301 -> 575 ms/step on cast traffic; the fused kernel is
+        # the real fix.)
+        emb = self.emb_dims
+        SC = 32
         for i in range(self.num_iters):
-            # Similarity-matrix conv over virtually-concatenated
-            # [src_emb_i, tgt_emb_j, dist_ij, dir_ij] features: the first
-            # 1x1 conv distributes over the concat, so the projections run
-            # on the (B, M, emb) embeddings and only broadcast-ADD at
-            # (B, M, M, 32) — the reference materializes the full
-            # (B, M, M, 2*emb+4) stack (idam.py:267-279; ~2 GB/iter at
-            # reference scale).
-            diff = src[:, :, None, :] - tgt[:, None, :, :]
-            dist = jnp.sqrt(jnp.sum(diff**2, axis=-1, keepdims=True))
-            diff = diff / (dist + 1e-8)
-            dd = jnp.concatenate([dist, diff], axis=-1)          # (B,M,M,4)
-            sim = layers.DenseCat(32, use_bias=False, dtype=sim_dt)(
-                src_embedding[:, :, None, :],
-                tgt_embedding[:, None, :, :],
-                dd,
+            Wcat = self.param(f"sim{i}_Wcat", layers.torch_linear_init,
+                              (2 * emb + 4, SC))
+            W2 = self.param(f"sim{i}_W2", layers.torch_linear_init, (SC, SC))
+            b2 = self.param(f"sim{i}_b2", layers.torch_bias_init(SC), (SC,))
+            W3 = self.param(f"sim{i}_W3", layers.torch_linear_init, (SC, SC))
+            W4 = self.param(f"sim{i}_W4", layers.torch_linear_init, (SC, 1))
+            b4 = self.param(f"sim{i}_b4", layers.torch_bias_init(SC), (1,))
+            g1 = self.param(f"sim{i}_scale1", nn.initializers.ones, (SC,))
+            be1 = self.param(f"sim{i}_bias1", nn.initializers.zeros, (SC,))
+            g2 = self.param(f"sim{i}_scale2", nn.initializers.ones, (SC,))
+            be2 = self.param(f"sim{i}_bias2", nn.initializers.zeros, (SC,))
+            ra = [
+                self.variable("batch_stats", f"sim{i}_{nm}",
+                              init, (SC,))
+                for nm, init in (("mean1", jnp.zeros), ("var1", jnp.ones),
+                                 ("mean2", jnp.zeros), ("var2", jnp.ones))
+            ]
+            sim, wmax, batch_stats = ops.sim_mlp(
+                src, tgt, src_embedding, tgt_embedding,
+                Wcat, W2, b2, W3, W4, b4, g1, be1, g2, be2,
+                ra[0].value, ra[1].value, ra[2].value, ra[3].value, train,
             )
-            sim = nn.relu(layers.BatchNorm(dtype=sim_dt)(sim, train))
-            sim = ConvBlock((32,), dtype=sim_dt)(sim, train)     # per-iter params
+            if train and batch_stats is not None and (
+                self.is_mutable_collection("batch_stats")
+            ):
+                st1, st2 = batch_stats
+                # flax convention: ra = 0.9 * ra + 0.1 * batch stat
+                # (torch BatchNorm default momentum 0.1).
+                for v, new in zip(ra, (st1[0], st1[1], st2[0], st2[1])):
+                    v.value = 0.9 * v.value + 0.1 * new
 
-            weights = jnp.max(sim, axis=2).astype(jnp.float32)   # (B, M, 32)
-            weights = ConvBlock((32, 1))(weights, train).squeeze(-1)
-
-            sim = ConvBlock((32, 1), dtype=sim_dt)(sim, train).squeeze(-1)
-            sim = jnp.clip(sim.astype(jnp.float32), -20.0, 20.0)  # (B, M, M)
+            weights = ConvBlock((32, 1))(wmax, train).squeeze(-1)
 
             if train and i == 0:
                 src_neg_ent = jax.nn.softmax(sim, axis=-1)

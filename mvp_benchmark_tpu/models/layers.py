@@ -28,6 +28,16 @@ def torch_linear_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+def torch_bias_init(fan_in: int):
+    """torch Linear/Conv bias default: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 # ---------------------------------------------------------------------------
 # Activation-dtype policy (bf16 mixed-precision mode)
 # ---------------------------------------------------------------------------

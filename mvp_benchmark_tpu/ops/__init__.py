@@ -48,6 +48,7 @@ from mvp_benchmark_tpu.ops.dispatch import (
     edge_mlp_supported,
     sa_attention,
     sa_attention_supported,
+    sim_mlp,
     three_interpolate,
     three_nn,
     three_nn_upsampling,
@@ -78,6 +79,7 @@ __all__ = [
     "edge_mlp",
     "edge_mlp_supported",
     "sa_attention",
+    "sim_mlp",
     "sa_attention_supported",
     "square_distance",
     "three_interpolate",

@@ -234,3 +234,32 @@ def edge_mlp(a1, Ws, gammas, betas, means, variances, train: bool):
             a1, Ws, gammas, betas, train=True)
     return (pallas_kernels.edge_mlp_reference(
         a1, Ws, gammas, betas, means, variances, train=False), None)
+
+
+def sim_mlp(src, tgt, semb, temb, Wcat, W2, b2, W3, W4, b4,
+            g1, be1, g2, be2, mean1, var1, mean2, var2, train: bool):
+    """Fused IDAM similarity-matrix stack (reference idam.py:267-279;
+    see pallas_kernels.sim_mlp_train). Returns (sim, wmax, batch_stats)
+    in train mode (batch_stats = (st1, st2), each (2, C) [mean, biased
+    var]); (sim, wmax, None) in eval mode. Falls back to the jnp golden
+    (same arithmetic, materialized) off-TPU.
+    """
+    from mvp_benchmark_tpu.ops import pallas_kernels
+
+    if _on_tpu() and pallas_kernels.sim_mlp_supported(W2.shape[0]):
+        if train:
+            return pallas_kernels.sim_mlp_train(
+                src, tgt, semb, temb, Wcat, W2, b2, W3, W4, b4,
+                g1, be1, g2, be2)
+        sim, wmax = pallas_kernels.sim_mlp_eval(
+            src, tgt, semb, temb, Wcat, W2, b2, W3, W4, b4,
+            g1, be1, g2, be2, mean1, var1, mean2, var2)
+        return sim, wmax, None
+    if train:
+        return pallas_kernels.sim_mlp_reference(
+            src, tgt, semb, temb, Wcat, W2, b2, W3, W4, b4,
+            g1, be1, g2, be2, train=True)
+    sim, wmax = pallas_kernels.sim_mlp_reference(
+        src, tgt, semb, temb, Wcat, W2, b2, W3, W4, b4,
+        g1, be1, g2, be2, mean1, var1, mean2, var2, train=False)
+    return sim, wmax, None

@@ -2487,3 +2487,809 @@ def edge_mlp_supported(a1) -> bool:
     """Kernel shape gate: lane-friendly channel width and tileable N."""
     B, k, N, C1 = a1.shape
     return C1 % 8 == 0 and N % 8 == 0 and N >= 8
+
+
+# ---------------------------------------------------------------------------
+# Fused IDAM similarity-matrix stack
+# ---------------------------------------------------------------------------
+#
+# IDAM's inner loop (reference registration/models/idam.py:267-279) runs a
+# small MLP over every (src_i, tgt_j) pair: concat([emb_i, emb_j, dist_ij,
+# dir_ij]) -> Dense(C) -> BN -> relu -> Dense(C) -> {max_j (weights head),
+# Dense(C) -> BN -> relu -> Dense(1) (similarity logits)}, C = 32. In XLA
+# each (B, M, M, C) intermediate (M = N/6) is materialized in HBM several
+# times forward and backward — the dominant cost of the model after the
+# GNN. But the chain is per-edge: edges couple only through the BatchNorm
+# batch statistics and the max-pool. This section fuses the whole stack
+# into sequential Pallas passes (the edge_mlp pattern above): each pass
+# recomputes the chain in registers from the (B, M, C) projected embeddings
+# and the (B, M, 3) positions, and only the (B, M, M) logits, the (B, M, C)
+# max-pool, the BN statistics, and the parameter gradients touch HBM.
+#
+# The DenseCat input layer distributes over the virtual concat:
+#   h0_ij = emb_i @ W_src + emb_j @ W_tgt + dist_ij * w0
+#           + (p_i - p_j) @ W_xyz / (dist_ij + 1e-8)
+# so the per-point projections run in XLA at (B, M, emb) and the kernel
+# reconstructs only the distance terms from raw positions per tile.
+# Positions are non-differentiable (training differentiates parameters
+# only; the wrapper stop-gradients them on every path).
+#
+# LANE PACKING. C = 32 lanes would leave the VPU at 25% utilization and
+# the whole fusion is elementwise-bound (measured: 45.9 ms per iteration
+# unpacked vs the targets below). The kernels therefore pack G = 128//C
+# consecutive i-rows into the lane dimension: per-edge tensors are
+# (R, G*C) = ((TM//G)*TJ, 128) with row r = i4*TJ + jj and lane g*C + c
+# for i = i4*G + g. All parameters arrive pre-packed from XLA (block-
+# diagonal weight matrices, G-tiled vectors); per-(g,c) partial stat/grad
+# accumulators are reduced over g by XLA after each pass. Mosaic cannot
+# fold lanes into sublanes, so every cross-layout move uses one of the
+# supported forms: leading-dim splits/collapses, minor-dim rank-3
+# transposes ((m4, TJ, G) <-> (m4, G, TJ), used for the (TM, TJ) logits
+# tile), trailing-lane broadcasts, and static lane slices + concat for
+# group spread/segment sums (exact f32, no MXU rounding).
+#
+# Train mode needs exact global BN statistics, so the schedule is:
+#   fwd: stats(h0) pass, stats(h2) pass, final pass (logits + max-pool).
+#   bwd: S2/dW4 pass, then S1/dW3/dW2/db2 (needs S2), then
+#        d_proj/dW_dd (needs S1) — mirroring _em_bwd_kernel's top-down
+#        order. Matmul inputs round to bf16 (XLA DEFAULT on TPU); BN and
+#        stat math is f32.
+
+# Rows of i per grid cell / columns of j per inner step. TJ = 128 because
+# the logits tile is stored (and its cotangent loaded) at a dynamic LANE
+# offset j*TJ, which Mosaic must statically prove is a multiple of 128.
+_SM_TM = 64
+_SM_TJ = 128
+
+
+def _sm_G(C: int) -> int:
+    return max(1, 128 // C)
+
+
+def _sm_rowmask(t, m, tm, tj, G, C):
+    """(R, L) f32 row validity (row index depends on the lane's group)."""
+    R = (tm // G) * tj
+    L = G * C
+    rid = lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    gl = lax.broadcasted_iota(jnp.int32, (1, L), 1) // C
+    row = t * tm + (rid // tj) * G + gl                      # (R, L)
+    return (row < m).astype(jnp.float32)
+
+
+def _sm_colmask(j, m, tm, tj, G):
+    """(R, 1) f32 column validity for one column block."""
+    R = (tm // G) * tj
+    rid = lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    return ((rid % tj + j * tj) < m).astype(jnp.float32)
+
+
+def _sm_spread(x4, spreadM_ref):
+    """(R, G) -> (R, L): replicate each group's value over its C lanes via
+    an exact f32 matmul against the 0/1 spread matrix (HIGHEST precision —
+    Mosaic rejects HIGH; exact f32 for single-product outputs)."""
+    return lax.dot_general(
+        x4, spreadM_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+def _sm_gsum_tp(dh0r, G):
+    """(m4, tj, L) -> (tj, C): sum over i4 rows and lane groups (exact)."""
+    s = jnp.sum(dh0r, axis=0)                                # (tj, L)
+    tj, L = s.shape
+    C = L // G
+    out = s[:, :C]
+    for g in range(1, G):
+        out = out + s[:, g * C:(g + 1) * C]
+    return out
+
+
+def _sm_dot(a, w, transpose=False):
+    """bf16-input matmul with f32 accumulation; optionally a @ w.T."""
+    dims = (((1,), (1,)), ((), ())) if transpose else (((1,), (0,)), ((), ()))
+    return lax.dot_general(a.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                           dimension_numbers=dims,
+                           preferred_element_type=jnp.float32)
+
+
+def _sm_split(refs):
+    """Fixed input order shared by every pass (packed layouts)."""
+    names = ("spP", "tpT", "srcP", "tgtT", "W0sp", "WxyzBD", "W2BD", "b2L",
+             "W3BD", "w4L", "g1L", "be1L", "g2L", "be2L", "st1L", "st2L",
+             "spreadM", "segM", "W4seg")
+    d = dict(zip(names, refs[:19]))
+    return d, list(refs[19:])
+
+
+def _sm_bcast_rows(blk, tj):
+    """(m4, X) row block -> (R, X) edge-major (same value for every jj)."""
+    m4, X = blk.shape
+    return jnp.broadcast_to(blk[:, None, :], (m4, tj, X)).reshape(
+        m4 * tj, X)
+
+
+def _sm_bcast_cols(blk, m4):
+    """(tj, X) column block -> (R, X) edge-major (same for every i4)."""
+    tj, X = blk.shape
+    return jnp.broadcast_to(blk[None, :, :], (m4, tj, X)).reshape(
+        m4 * tj, X)
+
+
+def _sm_h0(d, j, tm, tj):
+    """h0 (R, L), dist4 (R, G), normalized diff ndiffP (R, 4G) for one
+    column block. Broadcasts stay fused binary ops; group spreads and
+    segment sums run as exact f32 matmuls against 0/1 matrices."""
+    L = d["spP"].shape[-1]
+    G = d["srcP"].shape[-1] // 4
+    m4 = tm // G
+    R = m4 * tj
+    spb = d["spP"][0].astype(jnp.float32)                     # (m4, L)
+    tpb = d["tpT"][0, pl.ds(j * tj, tj), :].astype(jnp.float32)
+    emb = (spb[:, None, :] + tpb[None, :, :]).reshape(R, L)
+    diffP = (d["srcP"][0].astype(jnp.float32)[:, None, :]
+             - d["tgtT"][0, pl.ds(j * tj, tj), :].astype(
+                 jnp.float32)[None, :, :]).reshape(R, 4 * G)
+    d2 = lax.dot_general(
+        diffP * diffP, d["segM"][:].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)                   # (R, G)
+    dist4 = jnp.sqrt(d2)
+    inv4 = 1.0 / (dist4 + 1e-8)
+    distw0 = _sm_spread(dist4, d["W0sp"])                     # dist * w0
+    # Normalize diff at 4G lanes (tiny) instead of spreading 1/dist to all
+    # L lanes: dirp/(dist+eps) == bf16dot(diff/(dist+eps), Wxyz) up to the
+    # bf16 input rounding (mirrored by the golden).
+    inv16 = lax.dot_general(
+        inv4, d["segM"][:].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)                   # (R, 4G)
+    ndiffP = diffP * inv16
+    dirpN = _sm_dot(ndiffP, d["WxyzBD"][:])                   # (R, L)
+    h0 = emb + distw0 + dirpN
+    return h0, dist4, ndiffP
+
+
+def _sm_chain(d, h0, upto):
+    """Forward from h0: returns (hhat1, x1, h1[, h2[, hhat2, x2]])."""
+    hhat1, x1 = _em_bn(h0, d["st1L"], d["g1L"], d["be1L"])
+    h1 = _sm_dot(x1, d["W2BD"][:]) + d["b2L"][0, :].astype(
+        jnp.float32)[None, :]
+    if upto == 1:
+        return hhat1, x1, h1
+    h2 = _sm_dot(h1, d["W3BD"][:])
+    if upto == 2:
+        return hhat1, x1, h1, h2
+    hhat2, x2 = _em_bn(h2, d["st2L"], d["g2L"], d["be2L"])
+    return hhat1, x1, h1, h2, hhat2, x2
+
+
+def _sm_logits_tile(simr4, tm, tj, G):
+    """(R, G) per-edge logits -> the (tm, tj) row-major tile."""
+    m4 = tm // G
+    return jnp.swapaxes(simr4.reshape(m4, tj, G), 1, 2).reshape(tm, tj)
+
+
+def _sm_dsimE(d, dsim_ref, j, tm, tj):
+    """Load the logits-cotangent (tm, tj) tile into packed (R, L) form."""
+    L = d["spP"].shape[-1]
+    G = d["srcP"].shape[-1] // 4
+    C = L // G
+    m4 = tm // G
+    blk = dsim_ref[0, :, pl.ds(j * tj, tj)].astype(jnp.float32)
+    d4 = jnp.swapaxes(blk.reshape(m4, G, tj), 1, 2).reshape(m4 * tj, G)
+    return _sm_spread(d4, d["spreadM"])
+
+
+def _sm_dy2(d, x2, dsimE):
+    """relu-masked cotangent at BN2's output from the logits cotangent."""
+    w4 = d["w4L"][0, :].astype(jnp.float32)
+    dx2 = dsimE * w4[None, :]
+    return jnp.where(x2 > 0.0, dx2, 0.0)
+
+
+def _sm_dy1(d, rest, rowm, j, m, tm, tj, E):
+    """Backward to BN1's output cotangent for one column block (needs S2).
+
+    rowm is the hoisted (R, L) row mask for this grid cell.
+
+    Returns (h0, dist4, ndiffP, hhat1, x1, h1, dh2, dh1, dy1, vmask)."""
+    dsim_ref, dwmax_ref, wmax_ref, S1_ref, S2_ref = rest[:5]
+    h0, dist4, ndiffP = _sm_h0(d, j, tm, tj)
+    hhat1, x1, h1, h2, hhat2, x2 = _sm_chain(d, h0, 3)
+    dsimE = _sm_dsimE(d, dsim_ref, j, tm, tj)
+    dy2 = _sm_dy2(d, x2, dsimE)
+    colm = _sm_colmask(j, m, tm, tj, d["srcP"].shape[-1] // 4)
+    vmask = rowm * colm
+    dh2 = _em_bnbwd(dy2, hhat2, d["st2L"], d["g2L"], S2_ref, E) * vmask
+    wmE = _sm_bcast_rows(wmax_ref[0].astype(jnp.float32), tj)
+    dwE = _sm_bcast_rows(dwmax_ref[0].astype(jnp.float32), tj)
+    route = dwE * (h1 == wmE).astype(jnp.float32) * colm
+    dh1 = _sm_dot(dh2, d["W3BD"][:], transpose=True) + route
+    dx1 = _sm_dot(dh1, d["W2BD"][:], transpose=True)
+    dy1 = jnp.where(x1 > 0.0, dx1, 0.0)
+    return h0, dist4, ndiffP, hhat1, x1, h1, dh2, dh1, dy1, vmask
+
+
+def _sm_stat_kernel(*refs, level, m, tm, tj, jt, G):
+    """Accumulate per-(g, c) [sum, sumsq] of h0 (level 0) or h2 (level 1)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    d, rest = _sm_split(refs)
+    out_ref = rest[0]
+    L = out_ref.shape[1]
+    C = L // G
+    rowm = _sm_rowmask(t, m, tm, tj, G, C)
+
+    def body(j, carry):
+        s, ss = carry
+        h0, _, _ = _sm_h0(d, j, tm, tj)
+        h = h0 if level == 0 else _sm_chain(d, h0, 2)[3]
+        hm = h * (rowm * _sm_colmask(j, m, tm, tj, G))
+        return (s + jnp.sum(hm, axis=0, keepdims=True),
+                ss + jnp.sum(hm * h, axis=0, keepdims=True))
+
+    z = jnp.zeros((1, L), jnp.float32)
+    s, ss = lax.fori_loop(0, jt, body, (z, z))
+
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[0:1, :] += s
+    out_ref[1:2, :] += ss
+
+
+def _sm_final_kernel(*refs, m, tm, tj, jt, G):
+    """Emit the (B, Mp, Mp) pre-bias logits and the packed max-pool."""
+    t = pl.program_id(1)
+    d, rest = _sm_split(refs)
+    simr_ref, wmax_ref = rest
+    L = wmax_ref.shape[2]
+    C = L // G
+    m4 = tm // G
+
+    def body(j, wm):
+        h0, _, _ = _sm_h0(d, j, tm, tj)
+        _, _, h1, _, _, x2 = _sm_chain(d, h0, 3)
+        simr4 = lax.dot_general(
+            x2, d["W4seg"][:].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)               # (R, G)
+        simr_ref[0, :, pl.ds(j * tj, tj)] = _sm_logits_tile(
+            simr4, tm, tj, G)
+        colm = _sm_colmask(j, m, tm, tj, G)
+        h1m = jnp.where(colm > 0.0, h1, -jnp.inf).reshape(m4, tj, L)
+        return jnp.maximum(wm, jnp.max(h1m, axis=1))
+
+    wm = lax.fori_loop(
+        0, jt, body, jnp.full((m4, L), -jnp.inf, jnp.float32))
+    wmax_ref[0] = wm
+
+
+def _sm_bwd1_kernel(*refs, m, tm, tj, jt, G):
+    """Accumulate per-(g, c) S2 = [sum dy2, sum dy2*hhat2] and dW4."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    d, rest = _sm_split(refs)
+    dsim_ref = rest[0]
+    S2_out, dw4_out = rest[5], rest[6]
+    L = S2_out.shape[1]
+
+    def body(j, carry):
+        s, ss, dw4 = carry
+        h0, _, _ = _sm_h0(d, j, tm, tj)
+        _, _, _, _, hhat2, x2 = _sm_chain(d, h0, 3)
+        dsimE = _sm_dsimE(d, dsim_ref, j, tm, tj)
+        dy2 = _sm_dy2(d, x2, dsimE)
+        return (s + jnp.sum(dy2, axis=0, keepdims=True),
+                ss + jnp.sum(dy2 * hhat2, axis=0, keepdims=True),
+                dw4 + jnp.sum(x2 * dsimE, axis=0, keepdims=True))
+
+    z = jnp.zeros((1, L), jnp.float32)
+    s, ss, dw4 = lax.fori_loop(0, jt, body, (z, z, z))
+
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        S2_out[...] = jnp.zeros_like(S2_out)
+        dw4_out[...] = jnp.zeros_like(dw4_out)
+
+    S2_out[0:1, :] += s
+    S2_out[1:2, :] += ss
+    dw4_out[...] += dw4
+
+
+def _sm_dwT(a, dh):
+    """a^T dh with bf16 inputs / f32 accumulation."""
+    return lax.dot_general(
+        a.astype(jnp.bfloat16), dh.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _sm_bwd2_kernel(*refs, m, tm, tj, jt, G, E):
+    """Accumulate S1, block-diag dW3/dW2, db2 (needs complete S2)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    d, rest = _sm_split(refs)
+    S1_out, dw3_out, dw2_out, db2_out = rest[5:9]
+    L = S1_out.shape[1]
+    C = L // G
+    rowm = _sm_rowmask(t, m, tm, tj, G, C)
+
+    def body(j, carry):
+        s, ss, dw3, dw2, db2 = carry
+        (h0, dist4, ndiffP, hhat1, x1, h1, dh2, dh1,
+         dy1, vmask) = _sm_dy1(d, rest, rowm, j, m, tm, tj, E)
+        return (s + jnp.sum(dy1, axis=0, keepdims=True),
+                ss + jnp.sum(dy1 * hhat1, axis=0, keepdims=True),
+                dw3 + _sm_dwT(h1, dh2),
+                dw2 + _sm_dwT(x1, dh1),
+                db2 + jnp.sum(dh1, axis=0, keepdims=True))
+
+    z = jnp.zeros((1, L), jnp.float32)
+    zw = jnp.zeros((L, L), jnp.float32)
+    s, ss, dw3, dw2, db2 = lax.fori_loop(0, jt, body, (z, z, zw, zw, z))
+
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        S1_out[...] = jnp.zeros_like(S1_out)
+        dw3_out[...] = jnp.zeros_like(dw3_out)
+        dw2_out[...] = jnp.zeros_like(dw2_out)
+        db2_out[...] = jnp.zeros_like(db2_out)
+
+    S1_out[0:1, :] += s
+    S1_out[1:2, :] += ss
+    dw3_out[...] += dw3
+    dw2_out[...] += dw2
+    db2_out[...] += db2
+
+
+def _sm_bwd3_kernel(*refs, m, tm, tj, jt, G, E):
+    """Emit packed d_sp; accumulate d_tp, dw0, dW_xyz (needs S1, S2)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    d, rest = _sm_split(refs)
+    S1_ref = rest[3]
+    dsp_ref, dtp_ref, dw0_out, dwxyz_out = rest[5:9]
+    L = dsp_ref.shape[2]
+    C = L // G
+    m4 = tm // G
+    rowm = _sm_rowmask(t, m, tm, tj, G, C)
+
+    @pl.when(t == 0)
+    def _():
+        dtp_ref[...] = jnp.zeros_like(dtp_ref)
+
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        dw0_out[...] = jnp.zeros_like(dw0_out)
+        dwxyz_out[...] = jnp.zeros_like(dwxyz_out)
+
+    def body(j, carry):
+        dsp, dw0, dwxyz = carry
+        (h0, dist4, ndiffP, hhat1, _, _, _, _, dy1, vmask) = _sm_dy1(
+            d, rest, rowm, j, m, tm, tj, E)
+        dh0 = _em_bnbwd(dy1, hhat1, d["st1L"], d["g1L"], S1_ref, E) * vmask
+        dh0r = dh0.reshape(m4, tj, L)
+        dtp_ref[0, pl.ds(j * tj, tj), :] += _sm_gsum_tp(dh0r, G)
+        distL = _sm_spread(dist4, d["spreadM"])
+        return (dsp + jnp.sum(dh0r, axis=1),
+                dw0 + jnp.sum(dh0 * distL, axis=0, keepdims=True),
+                dwxyz + _sm_dwT(ndiffP, dh0))
+
+    dsp = jnp.zeros((m4, L), jnp.float32)
+    dw0 = jnp.zeros((1, L), jnp.float32)
+    dwxyz = jnp.zeros((4 * G, L), jnp.float32)
+    dsp, dw0, dwxyz = lax.fori_loop(0, jt, body, (dsp, dw0, dwxyz))
+    dsp_ref[0] = dsp
+    dw0_out[...] += dw0
+    dwxyz_out[...] += dwxyz
+
+
+def _sm_gsum_tp(dh0r, G):
+    """(m4, tj, L) -> (tj, C): sum over i4 rows and lane groups."""
+    s = jnp.sum(dh0r, axis=0)                                # (tj, L)
+    tj, L = s.shape
+    C = L // G
+    out = s[:, :C]
+    for g in range(1, G):
+        out = out + s[:, g * C:(g + 1) * C]
+    return out
+
+
+def _sm_const(shape):
+    return pl.BlockSpec(shape, lambda b, t: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _sm_in_specs(B, Mp, C, tm, G, with_bwd):
+    L = G * C
+    m4row = lambda ch: pl.BlockSpec((1, tm // G, ch), lambda b, t: (b, t, 0),
+                                    memory_space=pltpu.VMEM)
+    full = lambda ch: pl.BlockSpec((1, Mp, ch), lambda b, t: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    G_ = G
+    specs = [m4row(L), full(L), m4row(4 * G), full(4 * G),
+             _sm_const((G_, L)), _sm_const((4 * G, L)), _sm_const((L, L)),
+             _sm_const((1, L)), _sm_const((L, L)), _sm_const((1, L)),
+             _sm_const((1, L)), _sm_const((1, L)), _sm_const((1, L)),
+             _sm_const((1, L)), _sm_const((2, L)), _sm_const((2, L)),
+             _sm_const((G_, L)), _sm_const((4 * G, G_)),
+             _sm_const((L, G_))]
+    if with_bwd:
+        specs += [pl.BlockSpec((1, tm, Mp), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+                  m4row(L), m4row(L), _sm_const((2, L)), _sm_const((2, L))]
+    return specs
+
+
+def _sm_blockdiag(W, G):
+    """(K, C) -> (G*K, G*C) block diagonal (XLA-side packing)."""
+    K, C = W.shape
+    out = jnp.zeros((G * K, G * C), W.dtype)
+    for g in range(G):
+        out = out.at[g * K:(g + 1) * K, g * C:(g + 1) * C].set(W)
+    return out
+
+
+def _sm_pack(sp, tp, srcp, tgtp, w0, wxyz, W2, b2, W3, w4r,
+             g1, be1, g2, be2, st1, st2, G):
+    """XLA-side packing of every kernel input into (g, c) lane layout."""
+    B, Mp, C = sp.shape
+    L = G * C
+    f32 = lambda x: x.astype(jnp.float32)
+    tileL = lambda v: jnp.tile(f32(v), (1, G))
+    gl = jnp.arange(L) // C
+    spreadM = (gl[None, :] == jnp.arange(G)[:, None]).astype(jnp.float32)
+    W0sp = spreadM * tileL(w0)                   # rows g: w0[c] in group g
+    k4 = jnp.arange(4 * G) // 4
+    segM = (k4[:, None] == jnp.arange(G)[None, :]).astype(jnp.float32)
+    W4seg = spreadM.T * tileL(w4r).reshape(L, 1)  # (L, G): w4[c] per group
+    return [
+        f32(sp).reshape(B, Mp // G, L),
+        jnp.tile(f32(tp), (1, 1, G)),
+        f32(srcp).reshape(B, Mp // G, 4 * G),
+        jnp.tile(f32(tgtp), (1, 1, G)),
+        W0sp,
+        _sm_blockdiag(f32(wxyz), G),
+        _sm_blockdiag(f32(W2), G),
+        tileL(b2),
+        _sm_blockdiag(f32(W3), G),
+        tileL(w4r),
+        tileL(g1), tileL(be1), tileL(g2), tileL(be2),
+        jnp.tile(f32(st1), (1, G)), jnp.tile(f32(st2), (1, G)),
+        spreadM, segM, W4seg,
+    ]
+
+
+def _sm_gred(x, G):
+    """Reduce a per-(g, c) packed row vector / stat block over g."""
+    rows, L = x.shape
+    C = L // G
+    return x.reshape(rows, G, C).sum(axis=1)
+
+
+def _sm_bdred(Wp, G, K, C):
+    """Sum the diagonal blocks of a packed (G*K, G*C) accumulator."""
+    return jnp.einsum("gkgc->kc", Wp.reshape(G, K, G, C))
+
+
+def _sm_unpack_rows(x, B, Mp, C):
+    """(B, Mp//G, G*C) packed rows -> (B, Mp, C)."""
+    return x.reshape(B, Mp, C)
+
+
+def _sm_cost(B, Mp, C, G, passes=1):
+    L = G * C
+    return pl.CostEstimate(
+        flops=2 * B * Mp * (Mp // G) * (L * L * 2 + L * 6) * passes,
+        bytes_accessed=B * Mp * (Mp + 2 * C) * 4,
+        transcendentals=B * Mp * Mp,
+    )
+
+
+def _sm_tiles(Mp, G):
+    tm = _SM_TM
+    while Mp % tm != 0 or tm % G != 0:
+        tm //= 2
+    tj = min(_SM_TJ, Mp)
+    return tm, tj, Mp // tj
+
+
+def _sm_pass(kernel, args, B, Mp, C, G, m, out_specs, out_shape, with_bwd,
+             passes=1, **kw):
+    tm, tj, jt = _sm_tiles(Mp, G)
+    return pl.pallas_call(
+        functools.partial(kernel, m=m, tm=tm, tj=tj, jt=jt, G=G, **kw),
+        grid=(B, Mp // tm),
+        in_specs=_sm_in_specs(B, Mp, C, tm, G, with_bwd),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=_sm_cost(B, Mp, C, G, passes),
+        interpret=_interpret(),
+    )(*args)
+
+
+def _sim_mlp_forward(m, sp, tp, srcp, tgtp, w0, wxyz, W2, b2, W3, w4r,
+                     g1, be1, g2, be2):
+    """Train forward on padded inputs: stat passes then the final pass."""
+    B, Mp, C = sp.shape
+    G = _sm_G(C)
+    L = G * C
+    E = float(B * m * m)
+    z2 = jnp.zeros((2, C), jnp.float32)
+    base = (sp, tp, srcp, tgtp, w0, wxyz, W2, b2, W3, w4r, g1, be1, g2, be2)
+
+    sums1 = _sm_pass(
+        _sm_stat_kernel, _sm_pack(*base, z2, z2, G), B, Mp, C, G, m,
+        _sm_const((2, L)), jax.ShapeDtypeStruct((2, L), jnp.float32),
+        with_bwd=False, level=0)
+    sums1 = _sm_gred(sums1, G)
+    mu1 = sums1[0] / E
+    var1 = jnp.maximum(sums1[1] / E - mu1 * mu1, 0.0)
+    st1 = jnp.stack([mu1, var1])
+
+    sums2 = _sm_pass(
+        _sm_stat_kernel, _sm_pack(*base, st1, z2, G), B, Mp, C, G, m,
+        _sm_const((2, L)), jax.ShapeDtypeStruct((2, L), jnp.float32),
+        with_bwd=False, level=1)
+    sums2 = _sm_gred(sums2, G)
+    mu2 = sums2[0] / E
+    var2 = jnp.maximum(sums2[1] / E - mu2 * mu2, 0.0)
+    st2 = jnp.stack([mu2, var2])
+
+    tm, _, _ = _sm_tiles(Mp, G)
+    simr, wmaxP = _sm_pass(
+        _sm_final_kernel, _sm_pack(*base, st1, st2, G), B, Mp, C, G, m,
+        [pl.BlockSpec((1, tm, Mp), lambda b, t: (b, t, 0),
+                      memory_space=pltpu.VMEM),
+         pl.BlockSpec((1, tm // G, L), lambda b, t: (b, t, 0),
+                      memory_space=pltpu.VMEM)],
+        [jax.ShapeDtypeStruct((B, Mp, Mp), jnp.float32),
+         jax.ShapeDtypeStruct((B, Mp // G, L), jnp.float32)],
+        with_bwd=False)
+    return simr, _sm_unpack_rows(wmaxP, B, Mp, C), st1, st2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def sim_mlp_core(m, sp, tp, srcp, tgtp, w0, wxyz, W2, b2, W3, w4r,
+                 g1, be1, g2, be2):
+    """Fused IDAM similarity stack on padded inputs (train mode).
+
+    All tensor args are padded to Mp rows (zero pad); m is the real point
+    count. Returns (pre-bias logits (B, Mp, Mp), max-pool (B, Mp, C),
+    stop-gradient BN batch stats st1, st2 as (2, C) [mean, biased var]).
+    Positions srcp/tgtp are non-differentiable (zero cotangents).
+    """
+    simr, wmax, st1, st2 = _sim_mlp_forward(
+        m, sp, tp, srcp, tgtp, w0, wxyz, W2, b2, W3, w4r, g1, be1, g2, be2)
+    return simr, wmax, lax.stop_gradient(st1), lax.stop_gradient(st2)
+
+
+def _sim_mlp_core_fwd(m, sp, tp, srcp, tgtp, w0, wxyz, W2, b2, W3, w4r,
+                      g1, be1, g2, be2):
+    simr, wmax, st1, st2 = _sim_mlp_forward(
+        m, sp, tp, srcp, tgtp, w0, wxyz, W2, b2, W3, w4r, g1, be1, g2, be2)
+    res = (sp, tp, srcp, tgtp, w0, wxyz, W2, b2, W3, w4r, g1, be1, g2, be2,
+           st1, st2, wmax)
+    return (simr, wmax, lax.stop_gradient(st1), lax.stop_gradient(st2)), res
+
+
+def _sim_mlp_core_bwd(m, res, cts):
+    (sp, tp, srcp, tgtp, w0, wxyz, W2, b2, W3, w4r, g1, be1, g2, be2,
+     st1, st2, wmax) = res
+    d_simr, d_wmax, _, _ = cts
+    B, Mp, C = sp.shape
+    G = _sm_G(C)
+    L = G * C
+    E = float(B * m * m)
+    z2 = jnp.zeros((2, C), jnp.float32)
+    base = (sp, tp, srcp, tgtp, w0, wxyz, W2, b2, W3, w4r, g1, be1, g2, be2)
+    d_simr = d_simr.astype(jnp.float32)
+    wmaxP = wmax.astype(jnp.float32).reshape(B, Mp // G, L)
+    dwmaxP = d_wmax.astype(jnp.float32).reshape(B, Mp // G, L)
+
+    common = _sm_pack(*base, st1, st2, G)
+    z2L = jnp.zeros((2, L), jnp.float32)
+
+    S2p, dw4p = _sm_pass(
+        _sm_bwd1_kernel, common + [d_simr, dwmaxP, wmaxP, z2L, z2L],
+        B, Mp, C, G, m,
+        [_sm_const((2, L)), _sm_const((1, L))],
+        [jax.ShapeDtypeStruct((2, L), jnp.float32),
+         jax.ShapeDtypeStruct((1, L), jnp.float32)],
+        with_bwd=True, passes=2)
+    S2 = _sm_gred(S2p, G)
+    dw4 = _sm_gred(dw4p, G)
+    S2L = jnp.tile(S2, (1, G))
+
+    S1p, dW3p, dW2p, db2p = _sm_pass(
+        _sm_bwd2_kernel, common + [d_simr, dwmaxP, wmaxP, z2L, S2L],
+        B, Mp, C, G, m,
+        [_sm_const((2, L)), _sm_const((L, L)), _sm_const((L, L)),
+         _sm_const((1, L))],
+        [jax.ShapeDtypeStruct((2, L), jnp.float32),
+         jax.ShapeDtypeStruct((L, L), jnp.float32),
+         jax.ShapeDtypeStruct((L, L), jnp.float32),
+         jax.ShapeDtypeStruct((1, L), jnp.float32)],
+        with_bwd=True, passes=3, E=E)
+    S1 = _sm_gred(S1p, G)
+    dW3 = _sm_bdred(dW3p, G, C, C)
+    dW2 = _sm_bdred(dW2p, G, C, C)
+    db2 = _sm_gred(db2p, G)
+    S1L = jnp.tile(S1, (1, G))
+
+    tm, _, _ = _sm_tiles(Mp, G)
+    dspP, dtp, dw0p, dwxyzp = _sm_pass(
+        _sm_bwd3_kernel, common + [d_simr, dwmaxP, wmaxP, S1L, S2L],
+        B, Mp, C, G, m,
+        [pl.BlockSpec((1, tm // G, L), lambda b, t: (b, t, 0),
+                      memory_space=pltpu.VMEM),
+         pl.BlockSpec((1, Mp, C), lambda b, t: (b, 0, 0),
+                      memory_space=pltpu.VMEM),
+         _sm_const((1, L)), _sm_const((4 * G, L))],
+        [jax.ShapeDtypeStruct((B, Mp // G, L), jnp.float32),
+         jax.ShapeDtypeStruct((B, Mp, C), jnp.float32),
+         jax.ShapeDtypeStruct((1, L), jnp.float32),
+         jax.ShapeDtypeStruct((4 * G, L), jnp.float32)],
+        with_bwd=True, passes=3, E=E)
+    dsp = _sm_unpack_rows(dspP, B, Mp, C)
+    dw0 = _sm_gred(dw0p, G)
+    dwxyz = _sm_bdred(dwxyzp, G, 4, C)
+
+    return (dsp.astype(sp.dtype), dtp.astype(tp.dtype),
+            jnp.zeros_like(srcp), jnp.zeros_like(tgtp),
+            dw0.astype(w0.dtype), dwxyz.astype(wxyz.dtype),
+            dW2.astype(W2.dtype), db2.astype(b2.dtype),
+            dW3.astype(W3.dtype), dw4.astype(w4r.dtype),
+            S1[1:2].astype(g1.dtype), S1[0:1].astype(be1.dtype),
+            S2[1:2].astype(g2.dtype), S2[0:1].astype(be2.dtype))
+
+
+sim_mlp_core.defvjp(_sim_mlp_core_fwd, _sim_mlp_core_bwd)
+
+
+def _sm_prep(src, tgt, semb, temb, Wcat, W2, b2, W3, W4, b4,
+             g1, be1, g2, be2):
+    """Project embeddings (differentiable XLA), pad everything to Mp."""
+    B, M, _ = src.shape
+    emb = semb.shape[-1]
+    C = W2.shape[0]
+    Mp = max(_SM_TJ, -(-M // _SM_TJ) * _SM_TJ)
+
+    def dot(x, w):
+        return jnp.dot(
+            x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16), preferred_element_type=jnp.float32,
+        ).reshape(x.shape[:-1] + (w.shape[-1],))
+
+    sp = dot(semb, Wcat[:emb])
+    tp = dot(temb, Wcat[emb:2 * emb])
+    w0 = Wcat[2 * emb:2 * emb + 1]
+    wxyz = jnp.concatenate(
+        [Wcat[2 * emb + 1:2 * emb + 4],
+         jnp.zeros((1, C), Wcat.dtype)], axis=0)
+
+    pad_m = [(0, 0), (0, Mp - M), (0, 0)]
+    sp = jnp.pad(sp, pad_m)
+    tp = jnp.pad(tp, pad_m)
+    srcp = lax.stop_gradient(
+        jnp.pad(src.astype(jnp.float32), [(0, 0), (0, Mp - M), (0, 1)]))
+    tgtp = lax.stop_gradient(
+        jnp.pad(tgt.astype(jnp.float32), [(0, 0), (0, Mp - M), (0, 1)]))
+    args = (sp, tp, srcp, tgtp, w0, wxyz, W2,
+            b2.reshape(1, C), W3, W4.reshape(1, C),
+            g1.reshape(1, C), be1.reshape(1, C),
+            g2.reshape(1, C), be2.reshape(1, C))
+    return M, args
+
+
+def sim_mlp_train(src, tgt, semb, temb, Wcat, W2, b2, W3, W4, b4,
+                  g1, be1, g2, be2):
+    """Fused IDAM similarity-matrix stack, training mode.
+
+    src/tgt: (B, M, 3) positions (non-differentiable here — training
+    differentiates parameters only). semb/temb: (B, M, emb) embeddings.
+    Wcat: (2*emb+4, C) DenseCat kernel over [emb_i, emb_j, dist, dir].
+    W2/b2: Dense(C); W3: Dense(C, no bias); W4/b4: Dense(1).
+    g/be: BN scale/offset pairs. Semantics match the reference similarity
+    conv (registration/models/idam.py:267-279) with bf16 matmul inputs.
+
+    Returns (sim (B, M, M) f32 clipped logits, wmax (B, M, C) f32 max-pool
+    of the mid-chain Dense, (st1, st2) stop-gradient batch stats).
+    """
+    M, args = _sm_prep(src, tgt, semb, temb, Wcat, W2, b2, W3, W4, b4,
+                       g1, be1, g2, be2)
+    simr, wmax, st1, st2 = sim_mlp_core(M, *args)
+    sim = jnp.clip(simr[:, :M, :M] + b4.reshape(()), -20.0, 20.0)
+    return sim, wmax[:, :M], (st1, st2)
+
+
+def sim_mlp_eval(src, tgt, semb, temb, Wcat, W2, b2, W3, W4, b4,
+                 g1, be1, g2, be2, mean1, var1, mean2, var2):
+    """Inference-mode fused stack using running BN statistics."""
+    M, args = _sm_prep(src, tgt, semb, temb, Wcat, W2, b2, W3, W4, b4,
+                       g1, be1, g2, be2)
+    B, Mp, C = args[0].shape
+    G = _sm_G(C)
+    L = G * C
+    st1 = jnp.stack([mean1.astype(jnp.float32), var1.astype(jnp.float32)])
+    st2 = jnp.stack([mean2.astype(jnp.float32), var2.astype(jnp.float32)])
+    tm, _, _ = _sm_tiles(Mp, G)
+    simr, wmaxP = _sm_pass(
+        _sm_final_kernel, _sm_pack(*args, st1, st2, G), B, Mp, C, G, M,
+        [pl.BlockSpec((1, tm, Mp), lambda b, t: (b, t, 0),
+                      memory_space=pltpu.VMEM),
+         pl.BlockSpec((1, tm // G, L), lambda b, t: (b, t, 0),
+                      memory_space=pltpu.VMEM)],
+        [jax.ShapeDtypeStruct((B, Mp, Mp), jnp.float32),
+         jax.ShapeDtypeStruct((B, Mp // G, L), jnp.float32)],
+        with_bwd=False)
+    wmax = _sm_unpack_rows(wmaxP, B, Mp, C)
+    sim = jnp.clip(simr[:, :M, :M] + b4.reshape(()), -20.0, 20.0)
+    return sim, wmax[:, :M]
+
+
+def sim_mlp_reference(src, tgt, semb, temb, Wcat, W2, b2, W3, W4, b4,
+                      g1, be1, g2, be2, mean1=None, var1=None, mean2=None,
+                      var2=None, train=True):
+    """jnp golden with the kernel's arithmetic (bf16 matmul inputs, f32
+    BN/stat math; positions stop-gradient on every path). CPU dispatch path
+    and parity baseline; materializes the (B, M, M, C) intermediates.
+
+    Max-pool cotangents split across exact ties under autodiff (the kernel
+    routes to every tie) — identical off measure-zero inputs.
+    """
+    f32 = jnp.float32
+    emb = semb.shape[-1]
+    C = W2.shape[0]
+
+    def dot(x, w):
+        return jnp.dot(
+            x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16), preferred_element_type=f32,
+        ).reshape(x.shape[:-1] + (w.shape[-1],))
+
+    src = lax.stop_gradient(src.astype(f32))
+    tgt = lax.stop_gradient(tgt.astype(f32))
+    sp = dot(semb, Wcat[:emb])
+    tp = dot(temb, Wcat[emb:2 * emb])
+    w0 = Wcat[2 * emb].astype(f32)
+    wxyz = Wcat[2 * emb + 1:2 * emb + 4]
+
+    diff = src[:, :, None, :] - tgt[:, None, :, :]
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1, keepdims=True))
+    # The kernel normalizes diff BEFORE the bf16 matmul (the reference
+    # divides after); equal up to bf16 input rounding.
+    dproj = dist * w0 + dot(diff / (dist + 1e-8), wxyz)
+    h0 = sp[:, :, None, :] + tp[:, None, :, :] + dproj
+
+    def bn(h, g, be, mean, var):
+        if train:
+            mu = jnp.mean(h, axis=(0, 1, 2))
+            v = jnp.maximum(jnp.mean(h * h, axis=(0, 1, 2)) - mu * mu, 0.0)
+        else:
+            mu, v = mean.astype(f32), var.astype(f32)
+        hhat = (h - mu) * lax.rsqrt(v + _EM_EPS)
+        return (jnp.maximum(hhat * g.astype(f32) + be.astype(f32), 0.0),
+                jnp.stack([mu, v]))
+
+    x1, st1 = bn(h0, g1, be1, mean1, var1)
+    h1 = dot(x1, W2) + b2.astype(f32)
+    wmax = jnp.max(h1, axis=2)
+    h2 = dot(h1, W3)
+    x2, st2 = bn(h2, g2, be2, mean2, var2)
+    simr = jnp.sum(x2 * W4.reshape(1, 1, 1, C).astype(f32), axis=-1)
+    sim = jnp.clip(simr + b4.reshape(()), -20.0, 20.0)
+    if train:
+        return sim, wmax, (lax.stop_gradient(st1), lax.stop_gradient(st2))
+    return sim, wmax
+
+
+def sim_mlp_supported(C: int) -> bool:
+    """Kernel gate: the lane packing needs G = 128 // C whole groups."""
+    return C >= 8 and 128 % C == 0

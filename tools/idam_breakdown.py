@@ -43,32 +43,47 @@ def timeit(name, fn, *args):
 
 class SimLoop(nn.Module):
     """The 3-iteration similarity stack lifted out of idam.Model (train
-    branch, losses included) with embeddings/points as inputs."""
+    branch, losses included) with embeddings/points as inputs. Mirrors the
+    model's fused ops.sim_mlp path."""
 
     num_iters: int = 3
 
     @nn.compact
     def __call__(self, src, tgt, src_embedding, tgt_embedding,
                  match_labels):
+        from mvp_benchmark_tpu import ops
+        from flax import linen as fnn
+
         train = True
         Bb, Mm = src.shape[0], src.shape[1]
+        emb = src_embedding.shape[-1]
         loss = 0.0
         for i in range(self.num_iters):
-            diff = src[:, :, None, :] - tgt[:, None, :, :]
-            dist = jnp.sqrt(jnp.sum(diff**2, axis=-1, keepdims=True))
-            diff = diff / (dist + 1e-8)
-            dd = jnp.concatenate([dist, diff], axis=-1)
-            sim = layers.DenseCat(32, use_bias=False)(
-                src_embedding[:, :, None, :],
-                tgt_embedding[:, None, :, :],
-                dd,
-            )
-            sim = nn.relu(layers.BatchNorm()(sim, train))
-            sim = idam.ConvBlock((32,))(sim, train)
-            weights = jnp.max(sim, axis=2).astype(jnp.float32)
-            weights = idam.ConvBlock((32, 1))(weights, train).squeeze(-1)
-            sim = idam.ConvBlock((32, 1))(sim, train).squeeze(-1)
-            sim = jnp.clip(sim.astype(jnp.float32), -20.0, 20.0)
+            Wcat = self.param(f"sim{i}_Wcat", layers.torch_linear_init,
+                              (2 * emb + 4, 32))
+            W2 = self.param(f"sim{i}_W2", layers.torch_linear_init, (32, 32))
+            b2 = self.param(f"sim{i}_b2", layers.torch_bias_init(32), (32,))
+            W3 = self.param(f"sim{i}_W3", layers.torch_linear_init, (32, 32))
+            W4 = self.param(f"sim{i}_W4", layers.torch_linear_init, (32, 1))
+            b4 = self.param(f"sim{i}_b4", layers.torch_bias_init(32), (1,))
+            g1 = self.param(f"sim{i}_scale1", fnn.initializers.ones, (32,))
+            be1 = self.param(f"sim{i}_bias1", fnn.initializers.zeros, (32,))
+            g2 = self.param(f"sim{i}_scale2", fnn.initializers.ones, (32,))
+            be2 = self.param(f"sim{i}_bias2", fnn.initializers.zeros, (32,))
+            ra = [self.variable("batch_stats", f"sim{i}_{nm}", init, (32,))
+                  for nm, init in (("mean1", jnp.zeros), ("var1", jnp.ones),
+                                   ("mean2", jnp.zeros), ("var2", jnp.ones))]
+            sim, wmax, batch_stats = ops.sim_mlp(
+                src, tgt, src_embedding, tgt_embedding,
+                Wcat, W2, b2, W3, W4, b4, g1, be1, g2, be2,
+                ra[0].value, ra[1].value, ra[2].value, ra[3].value, train)
+            if train and batch_stats is not None and (
+                self.is_mutable_collection("batch_stats")
+            ):
+                st1, st2 = batch_stats
+                for v, new in zip(ra, (st1[0], st1[1], st2[0], st2[1])):
+                    v.value = 0.9 * v.value + 0.1 * new
+            weights = idam.ConvBlock((32, 1))(wmax, train).squeeze(-1)
 
             temp = jax.nn.softmax(sim, axis=-1)
             diag = jnp.diagonal(temp, axis1=1, axis2=2)
