@@ -48,6 +48,7 @@ from mvp_benchmark_tpu.ops.dispatch import (
     edge_mlp_supported,
     sa_attention,
     sa_attention_supported,
+    gnn_edge,
     sim_mlp,
     three_interpolate,
     three_nn,
@@ -79,6 +80,7 @@ __all__ = [
     "edge_mlp",
     "edge_mlp_supported",
     "sa_attention",
+    "gnn_edge",
     "sim_mlp",
     "sa_attention_supported",
     "square_distance",

@@ -263,3 +263,24 @@ def sim_mlp(src, tgt, semb, temb, Wcat, W2, b2, W3, W4, b4,
         src, tgt, semb, temb, Wcat, W2, b2, W3, W4, b4,
         g1, be1, g2, be2, mean1, var1, mean2, var2, train=False)
     return sim, wmax, None
+
+
+def gnn_edge(a1, W, b, gamma, beta, mean, var, train: bool):
+    """Fused IDAM Propagate edge block: BN -> relu -> Dense(+bias) ->
+    max over k (reference idam.py:115-128; see
+    pallas_kernels.gnn_edge_train). a1: (B, k, N, C) edge features.
+    Returns (x (B, N, C), batch_stats (2, C) [mean, biased var]) in train
+    mode; (x, None) in eval. Falls back to the jnp golden off-TPU.
+    """
+    from mvp_benchmark_tpu.ops import pallas_kernels
+
+    if _on_tpu() and pallas_kernels.gnn_edge_supported(a1):
+        if train:
+            return pallas_kernels.gnn_edge_train(a1, W, b, gamma, beta)
+        return pallas_kernels.gnn_edge_eval(
+            a1, W, b, gamma, beta, mean, var), None
+    if train:
+        return pallas_kernels.gnn_edge_reference(a1, W, b, gamma, beta,
+                                                 train=True)
+    return pallas_kernels.gnn_edge_reference(
+        a1, W, b, gamma, beta, mean, var, train=False), None

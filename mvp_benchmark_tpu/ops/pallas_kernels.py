@@ -3293,3 +3293,269 @@ def sim_mlp_reference(src, tgt, semb, temb, Wcat, W2, b2, W3, W4, b4,
 def sim_mlp_supported(C: int) -> bool:
     """Kernel gate: the lane packing needs G = 128 // C whole groups."""
     return C >= 8 and 128 % C == 0
+
+
+# ---------------------------------------------------------------------------
+# Fused IDAM GNN edge block (Propagate: BN -> relu -> Dense -> max over k)
+# ---------------------------------------------------------------------------
+#
+# IDAM's GNN (reference registration/models/idam.py:115-149) runs five
+# Propagate layers per cloud: edge = gather(p, idx) - p_center, then
+# BatchNorm -> relu -> Conv1x1(+bias) -> max over the 12 neighbours. In XLA
+# every (B, N, 12, 64) intermediate (201 MB f32) is materialized in HBM
+# several times forward and backward — the GNN dominates IDAM's step time.
+# Here the edge tensor is built once in XLA (bf16, so its gather backward
+# stays XLA's well-tuned scatter path), the BN batch statistics are plain
+# XLA reduces over it, and a Pallas pass streams it through the
+# BN+relu+Dense+max chain in registers, emitting only the (B, N, C) pooled
+# output. Backward mirrors edge_mlp: one pass accumulates the BN backward
+# sums S and dW/db while routing the max-pool cotangent to every argmax
+# edge, a second pass (needs S) emits d_edge for XLA's scatter.
+#
+# Layout is edge_mlp's (B, k, N, C): the k dimension is a VMEM-resident
+# loop, N tiles the grid.
+
+def _ge_final_kernel(a1_ref, W_ref, b_ref, g_ref, be_ref, st_ref, x_ref,
+                     *, k, tm):
+    def body(j, best):
+        a1j = a1_ref[0, pl.ds(j, 1), :, :][0].astype(jnp.float32)
+        _, x1 = _em_bn(a1j, st_ref, g_ref, be_ref)
+        h = (jnp.dot(x1.astype(jnp.bfloat16), W_ref[:].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+             + b_ref[0, :].astype(jnp.float32)[None, :])
+        return jnp.maximum(best, h)
+
+    init = jnp.full((tm, x_ref.shape[2]), -jnp.inf, jnp.float32)
+    x_ref[0] = lax.fori_loop(0, k, body, init)
+
+
+def _ge_bwd1_kernel(a1_ref, W_ref, b_ref, g_ref, be_ref, st_ref,
+                    dx_ref, xs_ref, S_ref, dW_ref, db_ref, *, k, tm):
+    bpid = pl.program_id(0)
+    t = pl.program_id(1)
+    C = db_ref.shape[1]
+    dout = dx_ref[0].astype(jnp.float32)
+    xs = xs_ref[0].astype(jnp.float32)
+
+    def body(j, carry):
+        s, ss, dW, db = carry
+        a1j = a1_ref[0, pl.ds(j, 1), :, :][0].astype(jnp.float32)
+        hhat, x1 = _em_bn(a1j, st_ref, g_ref, be_ref)
+        h = (jnp.dot(x1.astype(jnp.bfloat16), W_ref[:].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+             + b_ref[0, :].astype(jnp.float32)[None, :])
+        dy_h = dout * (h == xs).astype(jnp.float32)
+        dx1 = lax.dot_general(
+            dy_h.astype(jnp.bfloat16), W_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dy = jnp.where(x1 > 0.0, dx1, 0.0)
+        dW_j = lax.dot_general(
+            x1.astype(jnp.bfloat16), dy_h.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (s + jnp.sum(dy, axis=0, keepdims=True),
+                ss + jnp.sum(dy * hhat, axis=0, keepdims=True),
+                dW + dW_j,
+                db + jnp.sum(dy_h, axis=0, keepdims=True))
+
+    z = jnp.zeros((1, C), jnp.float32)
+    zw = jnp.zeros(dW_ref.shape, jnp.float32)
+    s, ss, dW, db = lax.fori_loop(0, k, body, (z, z, zw, z))
+
+    @pl.when((bpid == 0) & (t == 0))
+    def _():
+        S_ref[...] = jnp.zeros_like(S_ref)
+        dW_ref[...] = jnp.zeros_like(dW_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    S_ref[0:1, :] += s
+    S_ref[1:2, :] += ss
+    dW_ref[...] += dW
+    db_ref[...] += db
+
+
+def _ge_bwd2_kernel(a1_ref, W_ref, b_ref, g_ref, be_ref, st_ref,
+                    dx_ref, xs_ref, S_ref, da1_ref, *, k, tm, E):
+    dout = dx_ref[0].astype(jnp.float32)
+    xs = xs_ref[0].astype(jnp.float32)
+
+    def body(j, _):
+        a1j = a1_ref[0, pl.ds(j, 1), :, :][0].astype(jnp.float32)
+        hhat, x1 = _em_bn(a1j, st_ref, g_ref, be_ref)
+        h = (jnp.dot(x1.astype(jnp.bfloat16), W_ref[:].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+             + b_ref[0, :].astype(jnp.float32)[None, :])
+        dy_h = dout * (h == xs).astype(jnp.float32)
+        dx1 = lax.dot_general(
+            dy_h.astype(jnp.bfloat16), W_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dy = jnp.where(x1 > 0.0, dx1, 0.0)
+        da1 = _em_bnbwd(dy, hhat, st_ref, g_ref, S_ref, E)
+        da1_ref[0, pl.ds(j, 1), :, :] = da1[None].astype(da1_ref.dtype)
+        return 0
+
+    lax.fori_loop(0, k, body, 0)
+
+
+def _ge_specs(B, k, N, C, tm, with_bwd):
+    a1 = pl.BlockSpec((1, k, tm, C), lambda b, t: (b, 0, t, 0),
+                      memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, tm, C), lambda b, t: (b, t, 0),
+                       memory_space=pltpu.VMEM)
+    specs = [a1, _sm_const((C, C)), _sm_const((1, C)), _sm_const((1, C)),
+             _sm_const((1, C)), _sm_const((2, C))]
+    if with_bwd:
+        specs += [row, row, _sm_const((2, C))]
+    return specs
+
+
+def _ge_tm(N):
+    for tm in (512, 256, 128, 64, 32, 16, 8):
+        if N % tm == 0:
+            return tm
+    return N
+
+
+def _ge_args(a1, W, b, gamma, beta, st):
+    f32 = lambda x: x.astype(jnp.float32)
+    return [a1, f32(W), f32(b).reshape(1, -1), f32(gamma).reshape(1, -1),
+            f32(beta).reshape(1, -1), f32(st)]
+
+
+def _ge_cost(B, k, N, C, passes=1):
+    return pl.CostEstimate(
+        flops=2 * B * k * N * C * C * passes,
+        bytes_accessed=B * k * N * C * 2,
+        transcendentals=0,
+    )
+
+
+def _gnn_edge_forward(a1, W, b, gamma, beta):
+    B, k, N, C = a1.shape
+    E = float(B * k * N)
+    a1f = a1.astype(jnp.float32)
+    mu = jnp.sum(a1f, axis=(0, 1, 2)) / E
+    var = jnp.maximum(jnp.sum(a1f * a1f, axis=(0, 1, 2)) / E - mu * mu, 0.0)
+    st = jnp.stack([mu, var])
+    tm = _ge_tm(N)
+    x = pl.pallas_call(
+        functools.partial(_ge_final_kernel, k=k, tm=tm),
+        grid=(B, N // tm),
+        in_specs=_ge_specs(B, k, N, C, tm, with_bwd=False),
+        out_specs=pl.BlockSpec((1, tm, C), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+        cost_estimate=_ge_cost(B, k, N, C),
+        interpret=_interpret(),
+    )(*_ge_args(a1, W, b, gamma, beta, st))
+    return x, st
+
+
+@jax.custom_vjp
+def gnn_edge_train(a1, W, b, gamma, beta):
+    """Fused BN -> relu -> Dense(+bias) -> max_k over a DGCNN edge tensor.
+
+    a1: (B, k, N, C) edge features (gather - center; any float dtype,
+    bf16 recommended — matmul inputs round to bf16 like XLA DEFAULT
+    anyway, and BN statistics are computed from the stored values).
+    Semantics match IDAM's Propagate body (reference idam.py:115-128) in
+    training mode. Returns (x (B, N, C) f32, stats (2, C) stop-gradient
+    [batch mean, biased var]).
+    """
+    x, st = _gnn_edge_forward(a1, W, b, gamma, beta)
+    return x, lax.stop_gradient(st)
+
+
+def _gnn_edge_train_fwd(a1, W, b, gamma, beta):
+    x, st = _gnn_edge_forward(a1, W, b, gamma, beta)
+    return (x, lax.stop_gradient(st)), (a1, W, b, gamma, beta, st, x)
+
+
+def _gnn_edge_train_bwd(res, cts):
+    a1, W, b, gamma, beta, st, x = res
+    dx, _ = cts
+    B, k, N, C = a1.shape
+    E = float(B * k * N)
+    tm = _ge_tm(N)
+    dx = dx.astype(jnp.float32)
+    common = _ge_args(a1, W, b, gamma, beta, st) + [dx, x]
+
+    S, dW, db = pl.pallas_call(
+        functools.partial(_ge_bwd1_kernel, k=k, tm=tm),
+        grid=(B, N // tm),
+        in_specs=_ge_specs(B, k, N, C, tm, with_bwd=True)[:-1],
+        out_specs=[_sm_const((2, C)), _sm_const((C, C)),
+                   _sm_const((1, C))],
+        out_shape=[jax.ShapeDtypeStruct((2, C), jnp.float32),
+                   jax.ShapeDtypeStruct((C, C), jnp.float32),
+                   jax.ShapeDtypeStruct((1, C), jnp.float32)],
+        cost_estimate=_ge_cost(B, k, N, C, passes=3),
+        interpret=_interpret(),
+    )(*common)
+
+    da1 = pl.pallas_call(
+        functools.partial(_ge_bwd2_kernel, k=k, tm=tm, E=E),
+        grid=(B, N // tm),
+        in_specs=_ge_specs(B, k, N, C, tm, with_bwd=True),
+        out_specs=pl.BlockSpec((1, k, tm, C), lambda b, t: (b, 0, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, k, N, C), a1.dtype),
+        cost_estimate=_ge_cost(B, k, N, C, passes=3),
+        interpret=_interpret(),
+    )(*(common + [S]))
+
+    return (da1, dW.astype(W.dtype), db.reshape(b.shape).astype(b.dtype),
+            S[1].reshape(gamma.shape).astype(gamma.dtype),
+            S[0].reshape(beta.shape).astype(beta.dtype))
+
+
+gnn_edge_train.defvjp(_gnn_edge_train_fwd, _gnn_edge_train_bwd)
+
+
+def gnn_edge_eval(a1, W, b, gamma, beta, mean, var):
+    """Inference-mode fused block using running BN statistics."""
+    B, k, N, C = a1.shape
+    st = jnp.stack([mean.astype(jnp.float32), var.astype(jnp.float32)])
+    tm = _ge_tm(N)
+    return pl.pallas_call(
+        functools.partial(_ge_final_kernel, k=k, tm=tm),
+        grid=(B, N // tm),
+        in_specs=_ge_specs(B, k, N, C, tm, with_bwd=False),
+        out_specs=pl.BlockSpec((1, tm, C), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+        cost_estimate=_ge_cost(B, k, N, C),
+        interpret=_interpret(),
+    )(*_ge_args(a1, W, b, gamma, beta, st))
+
+
+def gnn_edge_reference(a1, W, b, gamma, beta, mean=None, var=None,
+                       train=True):
+    """jnp golden with the kernel's arithmetic (bf16 matmul inputs, f32
+    BN/stat math). CPU dispatch path and parity baseline. Max-pool
+    cotangents split across exact ties under autodiff (the kernel routes
+    to every tie) — identical off measure-zero inputs."""
+    f32 = jnp.float32
+    a = a1.astype(f32)
+    if train:
+        mu = jnp.mean(a, axis=(0, 1, 2))
+        v = jnp.maximum(jnp.mean(a * a, axis=(0, 1, 2)) - mu * mu, 0.0)
+    else:
+        mu, v = mean.astype(f32), var.astype(f32)
+    hhat = (a - mu) * lax.rsqrt(v + _EM_EPS)
+    x1 = jnp.maximum(hhat * gamma.astype(f32) + beta.astype(f32), 0.0)
+    h = jnp.einsum(
+        "bknc,cd->bknd", x1.astype(jnp.bfloat16), W.astype(jnp.bfloat16),
+        preferred_element_type=f32) + b.astype(f32)
+    x = jnp.max(h, axis=1)
+    if train:
+        return x, lax.stop_gradient(jnp.stack([mu, v]))
+    return x
+
+
+def gnn_edge_supported(a1) -> bool:
+    """Kernel gate: lane-friendly channel width and tileable N."""
+    B, k, N, C = a1.shape
+    return C % 8 == 0 and N % 8 == 0 and N >= 8

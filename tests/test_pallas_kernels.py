@@ -639,3 +639,58 @@ class TestSimMlp:
             src, tgt, semb, temb, *p)[0] * 3)))(params)
         assert all(bool(jnp.all(jnp.isfinite(g))) for g in gs)
         assert float(jnp.linalg.norm(gs[0])) > 0.0
+
+
+class TestGnnEdge:
+    """Fused IDAM Propagate body (BN -> relu -> Dense -> max_k) vs the jnp
+    golden (interpret mode off-TPU)."""
+
+    def _setup(self, rng, B=2, k=5, N=48, C=16):
+        f = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        a1 = f(B, k, N, C).astype(jnp.bfloat16)
+        W = f(C, C) * 0.3
+        b = f(C) * 0.1
+        gamma = jnp.ones(C) + f(C) * 0.05
+        beta = f(C) * 0.05
+        return a1, W, b, gamma, beta
+
+    def test_train_parity(self, rng):
+        a1, W, b, gamma, beta = self._setup(rng)
+        xk, stk = pallas_kernels.gnn_edge_train(a1, W, b, gamma, beta)
+        xr, str_ = pallas_kernels.gnn_edge_reference(a1, W, b, gamma, beta)
+        np.testing.assert_allclose(np.asarray(xk), np.asarray(xr),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(stk), np.asarray(str_),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_grad_parity(self, rng):
+        a1, W, b, gamma, beta = self._setup(rng)
+        ct = jnp.asarray(rng.standard_normal(
+            (a1.shape[0], a1.shape[2], a1.shape[3])).astype(np.float32))
+
+        def loss(fn, a, W_, b_, g_, be_, **kw):
+            x = fn(a, W_, b_, g_, be_, **kw)[0]
+            return jnp.sum(jnp.sin(x) * ct)
+
+        gk = jax.grad(lambda *a: loss(pallas_kernels.gnn_edge_train, *a),
+                      argnums=(0, 1, 2, 3, 4))(a1, W, b, gamma, beta)
+        gr = jax.grad(lambda *a: loss(pallas_kernels.gnn_edge_reference, *a,
+                                      train=True),
+                      argnums=(0, 1, 2, 3, 4))(a1, W, b, gamma, beta)
+        for name, a, r in zip(("a1", "W", "b", "gamma", "beta"), gk, gr):
+            a, r = np.asarray(a, np.float32), np.asarray(r, np.float32)
+            nr = np.linalg.norm(r)
+            assert np.linalg.norm(a - r) <= 2e-2 * nr + 1e-5, (
+                f"d{name}: {np.linalg.norm(a - r):.3e} vs {nr:.3e}")
+
+    def test_eval_parity(self, rng):
+        a1, W, b, gamma, beta = self._setup(rng)
+        C = a1.shape[-1]
+        mean = jnp.asarray(0.1 * rng.standard_normal(C).astype(np.float32))
+        var = jnp.asarray(
+            1.0 + 0.2 * np.abs(rng.standard_normal(C)).astype(np.float32))
+        xk = pallas_kernels.gnn_edge_eval(a1, W, b, gamma, beta, mean, var)
+        xr = pallas_kernels.gnn_edge_reference(a1, W, b, gamma, beta,
+                                               mean, var, train=False)
+        np.testing.assert_allclose(np.asarray(xk), np.asarray(xr),
+                                   rtol=1e-3, atol=1e-3)
