@@ -51,11 +51,11 @@ class Propagate(nn.Module):
     The first 1x1 conv commutes with the gather/subtraction:
     Dense(x_j - x_i) == gather(Dense(x)) - Dense(x), so the projection runs
     on N points (not N*k) and only emb-dim features are gathered. The
-    BN -> relu -> Dense -> max_k body then runs as one fused Pallas pass
-    (ops.gnn_edge): the (B, N, k, emb) edge tensor is built once (bf16 —
-    matmul inputs round to bf16 under XLA DEFAULT anyway, and its gather
-    backward stays XLA's scatter), and none of the chain's intermediates
-    touch HBM.
+    edge build (one-hot MXU gather - center, bf16) AND the
+    BN -> relu -> Dense -> max_k body run as fused Pallas passes
+    (ops.gnn_propagate): the (B, k, N, emb) edge tensor is emitted once by
+    the kernel, its d_p backward scatter happens in-register, and none of
+    the chain's intermediates touch HBM.
     """
 
     emb_dims: int
@@ -64,17 +64,14 @@ class Propagate(nn.Module):
     def __call__(self, x, idx, train: bool):
         emb = self.emb_dims
         p = layers.TorchDense(emb, use_bias=False)(x)            # (B, N, emb)
-        a1 = (ops.grouping_operation(p, idx) - p[:, :, None, :]).astype(
-            jnp.bfloat16)
-        a1 = jnp.swapaxes(a1, 1, 2)                              # (B, k, N, emb)
         W = self.param("edge_W", layers.torch_linear_init, (emb, emb))
         b = self.param("edge_b", layers.torch_bias_init(emb), (emb,))
         gamma = self.param("edge_scale", nn.initializers.ones, (emb,))
         beta = self.param("edge_bias", nn.initializers.zeros, (emb,))
         ra_mean = self.variable("batch_stats", "edge_mean", jnp.zeros, (emb,))
         ra_var = self.variable("batch_stats", "edge_var", jnp.ones, (emb,))
-        h, batch_stats = ops.gnn_edge(
-            a1, W, b, gamma, beta, ra_mean.value, ra_var.value, train)
+        h, batch_stats = ops.gnn_propagate(
+            p, idx, W, b, gamma, beta, ra_mean.value, ra_var.value, train)
         if train and batch_stats is not None and (
             self.is_mutable_collection("batch_stats")
         ):

@@ -49,6 +49,7 @@ from mvp_benchmark_tpu.ops.dispatch import (
     sa_attention,
     sa_attention_supported,
     gnn_edge,
+    gnn_propagate,
     sim_mlp,
     three_interpolate,
     three_nn,
@@ -81,6 +82,7 @@ __all__ = [
     "edge_mlp_supported",
     "sa_attention",
     "gnn_edge",
+    "gnn_propagate",
     "sim_mlp",
     "sa_attention_supported",
     "square_distance",

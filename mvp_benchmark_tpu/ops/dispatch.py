@@ -284,3 +284,24 @@ def gnn_edge(a1, W, b, gamma, beta, mean, var, train: bool):
                                                  train=True)
     return pallas_kernels.gnn_edge_reference(
         a1, W, b, gamma, beta, mean, var, train=False), None
+
+
+def gnn_propagate(p, idx, W, b, gamma, beta, mean, var, train: bool):
+    """Fully fused IDAM Propagate layer (edge build + BN -> relu -> Dense ->
+    max over k; reference idam.py:115-128). p: (B, N, C) projected features,
+    idx: (B, N, k) neighbour indices. Returns (x (B, N, C), batch_stats
+    (2, C) [mean, biased var]) in train mode; (x, None) in eval. Falls back
+    to the jnp golden off-TPU."""
+    from mvp_benchmark_tpu.ops import pallas_kernels
+
+    if _on_tpu() and pallas_kernels.gnn_propagate_supported(p, idx):
+        if train:
+            return pallas_kernels.gnn_propagate_train(p, idx, W, b, gamma,
+                                                      beta)
+        return pallas_kernels.gnn_propagate_eval(
+            p, idx, W, b, gamma, beta, mean, var), None
+    if train:
+        return pallas_kernels.gnn_propagate_reference(p, idx, W, b, gamma,
+                                                      beta, train=True)
+    return pallas_kernels.gnn_propagate_reference(
+        p, idx, W, b, gamma, beta, mean, var, train=False), None

@@ -3559,3 +3559,209 @@ def gnn_edge_supported(a1) -> bool:
     """Kernel gate: lane-friendly channel width and tileable N."""
     B, k, N, C = a1.shape
     return C % 8 == 0 and N % 8 == 0 and N >= 8
+
+# ---------------------------------------------------------------------------
+# Fully fused IDAM Propagate: edge build + BN -> relu -> Dense -> max_k
+# ---------------------------------------------------------------------------
+#
+# gnn_edge (above) still pays three XLA-side passes per Propagate layer:
+# the one-hot gather kernel, an elementwise subtract/cast/transpose over the
+# (B, N, k, C) edge tensor, and — on the way back — a 100 MB d_edge HBM
+# round-trip into a separate MXU scatter launch. gnn_propagate folds all of
+# that into the gnn_edge kernels themselves: the forward builds the
+# (B, k, N, C) bf16 edge tensor directly from (p, idx) with in-register
+# one-hot MXU gathers (one kernel, no intermediate layouts), and the
+# backward's second pass scatters d_edge into d_p with transposed one-hot
+# matmuls while the per-edge cotangent is still in registers — d_edge never
+# exists in HBM. Arithmetic matches the unfused path bit-for-bit: the
+# gather table rounds to bf16 (as XLA DEFAULT matmuls do), the center
+# subtraction stays f32, and the edge values are stored bf16 (BN statistics
+# are computed from the stored values, like gnn_edge).
+#
+# Reference: registration/models/idam.py:115-128 (Propagate).
+
+
+def _gp_edge_kernel(idx_ref, p_ref, a1_ref, *, k, tm):
+    t = pl.program_id(1)
+    n = p_ref.shape[1]
+    single = n == tm
+    tbl = p_ref[0].astype(jnp.bfloat16)                      # (N, C)
+    center = (p_ref[0] if single
+              else p_ref[0, pl.ds(t * tm, tm), :]).astype(jnp.float32)
+    col = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
+    for j in range(k):
+        ii = idx_ref[0, j, :] if single else idx_ref[0, j, pl.ds(t * tm, tm)]
+        oh = (col == ii[:, None]).astype(jnp.bfloat16)
+        g = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
+        a1_ref[0, j] = (g - center).astype(a1_ref.dtype)
+
+
+def _gp_bwd2_kernel(a1_ref, W_ref, b_ref, g_ref, be_ref, st_ref,
+                    dx_ref, xs_ref, S_ref, idx_ref, dp_ref, *, k, tm, E):
+    t = pl.program_id(1)
+    n = dp_ref.shape[1]
+    C = dp_ref.shape[2]
+    single = n == tm
+    dout = dx_ref[0].astype(jnp.float32)
+    xs = xs_ref[0].astype(jnp.float32)
+    col = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
+    contractT = (((0,), (0,)), ((), ()))
+
+    @pl.when(t == 0)
+    def _():
+        dp_ref[0] = jnp.zeros_like(dp_ref[0])
+
+    acc = jnp.zeros((n, C), jnp.float32)
+    csum = jnp.zeros((tm, C), jnp.float32)
+    for j in range(k):
+        a1j = a1_ref[0, j].astype(jnp.float32)
+        hhat, x1 = _em_bn(a1j, st_ref, g_ref, be_ref)
+        h = (jnp.dot(x1.astype(jnp.bfloat16), W_ref[:].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+             + b_ref[0, :].astype(jnp.float32)[None, :])
+        dy_h = dout * (h == xs).astype(jnp.float32)
+        dx1 = lax.dot_general(
+            dy_h.astype(jnp.bfloat16), W_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dy = jnp.where(x1 > 0.0, dx1, 0.0)
+        da1 = _em_bnbwd(dy, hhat, st_ref, g_ref, S_ref, E)
+        # a1 was stored bf16, so the cotangent is bf16-valued already; the
+        # scatter matmul's bf16 rounding loses nothing extra.
+        ii = idx_ref[0, j, :] if single else idx_ref[0, j, pl.ds(t * tm, tm)]
+        oh = (col == ii[:, None]).astype(jnp.bfloat16)
+        acc += lax.dot_general(oh, da1.astype(jnp.bfloat16),
+                               dimension_numbers=contractT,
+                               preferred_element_type=jnp.float32)
+        csum += da1
+    dp_ref[0] += acc.astype(dp_ref.dtype)
+    if single:
+        dp_ref[0] -= csum.astype(dp_ref.dtype)
+    else:
+        cur = dp_ref[0, pl.ds(t * tm, tm), :]
+        dp_ref[0, pl.ds(t * tm, tm), :] = cur - csum.astype(dp_ref.dtype)
+
+
+def _gp_edge_build(p, idxT):
+    """(B, N, C) x (B, k, N) -> (B, k, N, C) bf16 edge tensor (gather-center
+    in the kernel arithmetic described above)."""
+    B, N, C = p.shape
+    k = idxT.shape[1]
+    tm = min(_ge_tm(N), 512)
+    return pl.pallas_call(
+        functools.partial(_gp_edge_kernel, k=k, tm=tm),
+        grid=(B, N // tm),
+        in_specs=[
+            pl.BlockSpec((1, k, N), lambda b_, t: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, C), lambda b_, t: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k, tm, C), lambda b_, t: (b_, 0, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, k, N, C), jnp.bfloat16),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * k * N * N * C,
+            bytes_accessed=B * N * C * 4 + B * k * N * C * 2,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(idxT.astype(jnp.int32), p.astype(jnp.float32))
+
+
+@jax.custom_vjp
+def gnn_propagate_train(p, idx, W, b, gamma, beta):
+    """Fused IDAM Propagate layer from projected features + neighbour graph.
+
+    p: (B, N, C) projected point features, idx: (B, N, k) int neighbour
+    indices (self-kNN). Equivalent to gnn_edge_train applied to the
+    (gather(p, idx) - p_center) edge tensor, with the edge build and the
+    d_p scatter fused into the kernels. Returns (x (B, N, C) f32,
+    stats (2, C) stop-gradient [batch mean, biased var]).
+    """
+    idxT = jnp.swapaxes(idx, 1, 2)
+    a1 = _gp_edge_build(p, idxT)
+    x, st = _gnn_edge_forward(a1, W, b, gamma, beta)
+    return x, lax.stop_gradient(st)
+
+
+def _gnn_propagate_train_fwd(p, idx, W, b, gamma, beta):
+    idxT = jnp.swapaxes(idx, 1, 2)
+    a1 = _gp_edge_build(p, idxT)
+    x, st = _gnn_edge_forward(a1, W, b, gamma, beta)
+    return (x, lax.stop_gradient(st)), (a1, idxT, W, b, gamma, beta, st, x,
+                                        jnp.zeros((0,), p.dtype))
+
+
+def _gnn_propagate_train_bwd(res, cts):
+    a1, idxT, W, b, gamma, beta, st, x, p_proto = res
+    p_dtype = p_proto.dtype
+    dx, _ = cts
+    B, k, N, C = a1.shape
+    E = float(B * k * N)
+    tm = _ge_tm(N)
+    dx = dx.astype(jnp.float32)
+    common = _ge_args(a1, W, b, gamma, beta, st) + [dx, x]
+
+    S, dW, db = pl.pallas_call(
+        functools.partial(_ge_bwd1_kernel, k=k, tm=tm),
+        grid=(B, N // tm),
+        in_specs=_ge_specs(B, k, N, C, tm, with_bwd=True)[:-1],
+        out_specs=[_sm_const((2, C)), _sm_const((C, C)),
+                   _sm_const((1, C))],
+        out_shape=[jax.ShapeDtypeStruct((2, C), jnp.float32),
+                   jax.ShapeDtypeStruct((C, C), jnp.float32),
+                   jax.ShapeDtypeStruct((1, C), jnp.float32)],
+        cost_estimate=_ge_cost(B, k, N, C, passes=3),
+        interpret=_interpret(),
+    )(*common)
+
+    tm2 = min(tm, 512)
+    d_p = pl.pallas_call(
+        functools.partial(_gp_bwd2_kernel, k=k, tm=tm2, E=E),
+        grid=(B, N // tm2),
+        in_specs=(_ge_specs(B, k, N, C, tm2, with_bwd=True)
+                  + [pl.BlockSpec((1, k, N), lambda b_, t: (b_, 0, 0),
+                                  memory_space=pltpu.VMEM)]),
+        out_specs=pl.BlockSpec((1, N, C), lambda b_, t: (b_, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+        cost_estimate=_ge_cost(B, k, N, C, passes=4),
+        interpret=_interpret(),
+    )(*(common + [S, idxT]))
+
+    return (d_p.astype(p_dtype), _float0_like(idxT.swapaxes(1, 2)),
+            dW.astype(W.dtype), db.reshape(b.shape).astype(b.dtype),
+            S[1].reshape(gamma.shape).astype(gamma.dtype),
+            S[0].reshape(beta.shape).astype(beta.dtype))
+
+
+gnn_propagate_train.defvjp(_gnn_propagate_train_fwd, _gnn_propagate_train_bwd)
+
+
+def gnn_propagate_eval(p, idx, W, b, gamma, beta, mean, var):
+    """Inference-mode fused Propagate using running BN statistics."""
+    a1 = _gp_edge_build(p, jnp.swapaxes(idx, 1, 2))
+    return gnn_edge_eval(a1, W, b, gamma, beta, mean, var)
+
+
+def gnn_propagate_reference(p, idx, W, b, gamma, beta, mean=None, var=None,
+                            train=True):
+    """jnp golden with the kernel's arithmetic: the gather table rounds to
+    bf16 (one-hot MXU semantics), the center subtraction is f32, edges are
+    stored bf16, then the gnn_edge chain."""
+    f32 = jnp.float32
+    pb = p.astype(jnp.bfloat16).astype(f32)
+    g = jnp_ref.grouping_operation(pb, idx)
+    a1 = (g - p.astype(f32)[:, :, None, :]).astype(jnp.bfloat16)
+    a1 = jnp.swapaxes(a1, 1, 2)
+    return gnn_edge_reference(a1, W, b, gamma, beta, mean, var, train)
+
+
+def gnn_propagate_supported(p, idx) -> bool:
+    """Kernel gate: lane-friendly channels, lane-aligned idx tile offsets
+    (single tile or 128-multiple tiles), and a VMEM-resident (N, C) table."""
+    B, N, C = p.shape
+    if C % 8 or N % 8 or N * C * 4 > 4 * 1024 * 1024:
+        return False
+    tm = _ge_tm(N)
+    return tm == N or tm % 128 == 0

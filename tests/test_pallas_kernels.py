@@ -694,3 +694,83 @@ class TestGnnEdge:
                                                mean, var, train=False)
         np.testing.assert_allclose(np.asarray(xk), np.asarray(xr),
                                    rtol=1e-3, atol=1e-3)
+
+
+class TestGnnPropagate:
+    """Fully fused Propagate (edge build + chain + in-kernel d_p scatter)
+    vs the jnp golden (interpret mode off-TPU)."""
+
+    def _setup(self, rng, B=2, k=5, N=48, C=16):
+        f = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        p = f(B, N, C)
+        # distinct neighbours per row (like real kNN output): duplicate
+        # edges create exact argmax ties, where the kernel deliberately
+        # routes the max-pool cotangent to every tie while jnp.max's
+        # autodiff splits it (documented gnn_edge behaviour).
+        idx = jnp.asarray(np.argsort(
+            rng.random((B, N, N)), axis=-1)[:, :, :k].astype(np.int32))
+        W = f(C, C) * 0.3
+        b = f(C) * 0.1
+        gamma = jnp.ones(C) + f(C) * 0.05
+        beta = f(C) * 0.05
+        return p, idx, W, b, gamma, beta
+
+    def test_train_parity(self, rng):
+        p, idx, W, b, gamma, beta = self._setup(rng)
+        xk, stk = pallas_kernels.gnn_propagate_train(p, idx, W, b, gamma,
+                                                     beta)
+        xr, str_ = pallas_kernels.gnn_propagate_reference(p, idx, W, b,
+                                                          gamma, beta)
+        np.testing.assert_allclose(np.asarray(xk), np.asarray(xr),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(stk), np.asarray(str_),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_matches_unfused_gnn_edge(self, rng):
+        p, idx, W, b, gamma, beta = self._setup(rng)
+        xk, stk = pallas_kernels.gnn_propagate_train(p, idx, W, b, gamma,
+                                                     beta)
+        pb = p.astype(jnp.bfloat16).astype(jnp.float32)
+        a1 = jnp.swapaxes(
+            (jnp_ref.grouping_operation(pb, idx) - p[:, :, None, :]).astype(
+                jnp.bfloat16), 1, 2)
+        xu, stu = pallas_kernels.gnn_edge_train(a1, W, b, gamma, beta)
+        np.testing.assert_allclose(np.asarray(xk), np.asarray(xu),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(stk), np.asarray(stu),
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_grad_parity(self, rng):
+        p, idx, W, b, gamma, beta = self._setup(rng)
+        ct = jnp.asarray(rng.standard_normal(
+            (p.shape[0], p.shape[1], W.shape[1])).astype(np.float32))
+
+        def loss(fn, p_, W_, b_, g_, be_, **kw):
+            x = fn(p_, idx, W_, b_, g_, be_, **kw)[0]
+            return jnp.sum(jnp.sin(x) * ct)
+
+        gk = jax.grad(lambda *a: loss(pallas_kernels.gnn_propagate_train,
+                                      *a),
+                      argnums=(0, 1, 2, 3, 4))(p, W, b, gamma, beta)
+        gr = jax.grad(lambda *a: loss(pallas_kernels.gnn_propagate_reference,
+                                      *a, train=True),
+                      argnums=(0, 1, 2, 3, 4))(p, W, b, gamma, beta)
+        for name, a, r in zip(("p", "W", "b", "gamma", "beta"), gk, gr):
+            a, r = np.asarray(a, np.float32), np.asarray(r, np.float32)
+            nr = np.linalg.norm(r)
+            assert np.linalg.norm(a - r) <= 2e-2 * nr + 1e-5, (
+                f"d{name}: {np.linalg.norm(a - r):.3e} vs {nr:.3e}")
+
+    def test_eval_parity(self, rng):
+        p, idx, W, b, gamma, beta = self._setup(rng)
+        C = p.shape[-1]
+        mean = jnp.asarray(0.1 * rng.standard_normal(C).astype(np.float32))
+        var = jnp.asarray(
+            1.0 + 0.2 * np.abs(rng.standard_normal(C)).astype(np.float32))
+        xk = pallas_kernels.gnn_propagate_eval(p, idx, W, b, gamma, beta,
+                                               mean, var)
+        xr = pallas_kernels.gnn_propagate_reference(p, idx, W, b, gamma,
+                                                    beta, mean, var,
+                                                    train=False)
+        np.testing.assert_allclose(np.asarray(xk), np.asarray(xr),
+                                   rtol=1e-3, atol=1e-3)
