@@ -617,10 +617,24 @@ def group_max(features, idx):
     return _group_max_forward(features, idx)[0]
 
 
-def _gm_tile(m: int) -> int:
+def _gm_tile(m: int, n: int, c: int) -> int:
     # Prefer larger tiles (launch-overhead-bound at model scale: measured
-    # 4.0 ms at L1->L2 vs a ~1 ms one-hot MXU floor with 256-wide tiles).
+    # 4.0 ms at L1->L2 vs a ~1 ms one-hot MXU floor with 256-wide tiles),
+    # but cap by the kernel's scoped-VMEM footprint: Mosaic's kernel stack
+    # is 16 MiB, and the backward's live set per tile is ~(tm*n) iota+onehot
+    # + (tm*c) g/gj tiles + (n*c) f32 accumulator. tm=1024 at ECG's
+    # N=3072/C=128 pool measured 16.16M scoped (compile-helper abort);
+    # 512 fits. The estimate below maps that case to ~22.9M, so the 17M
+    # budget keeps ~35% headroom at the measured scale factor (~0.7).
+    def fits(tm):
+        return tm * n * 6 + tm * c * 12 + n * c * 6 <= 17_000_000
+
     for tm in (1024, 512, 256):
+        if m % tm == 0 and fits(tm):
+            return tm
+    if m <= 1024 and fits(m):       # non-power-of-two M: one tile
+        return m
+    for tm in (256, 128):
         if m % tm == 0:
             return tm
     return m
@@ -629,7 +643,7 @@ def _gm_tile(m: int) -> int:
 def _group_max_forward(features, idx):
     B, N, C = features.shape
     M, k = idx.shape[1], idx.shape[2]
-    tm = _gm_tile(M)
+    tm = _gm_tile(M, N, C)
     idx_jm = jnp.swapaxes(idx, 1, 2).astype(jnp.int32)     # (B, k, M)
     out, slot = pl.pallas_call(
         functools.partial(_group_max_fwd_kernel, k=k, tm=tm),
@@ -668,7 +682,7 @@ def _group_max_fwd_rule(features, idx):
 def _group_max_bwd_rule(res, g):
     (B, N, C), idx_jm, slot = res
     M, k = idx_jm.shape[2], idx_jm.shape[1]
-    tm = _gm_tile(M)
+    tm = _gm_tile(M, N, C)
     dt = pl.pallas_call(
         functools.partial(_group_max_bwd_kernel, k=k, tm=tm),
         grid=(B, M // tm),
@@ -756,10 +770,21 @@ def _ti_bwd_kernel(idx_ref, w_ref, t_ref, g_ref, dt_ref, dw_ref, *, tm):
         dw_ref[0, l, pl.ds(m * tm, tm)] = dw_l
 
 
-def _ti_tile(n: int) -> int:
+def _ti_tile(n: int, n_src: int, c: int) -> int:
     # Prefer larger tiles: the (B, N/tm) grid at tm=256 ran launch-bound
-    # (4.3 ms measured vs ~0.5 ms MXU floor at L1 scale).
+    # (4.3 ms measured vs ~0.5 ms MXU floor at L1 scale). Cap by the
+    # scoped-VMEM footprint like _gm_tile: the backward keeps ~(tm*n_src)
+    # f32 ohw + S + iota and (tm*c)/(n_src*c) operand tiles live; ECG's
+    # 1024->3072 C=512 upsample at tm=1024 took a 30 s Mosaic compile
+    # (and sits near the 16 MiB kernel stack) — tm=512 is fast and safe.
+    # (ti never hit the VMEM abort — its constraint is compile time — so
+    # its budget is looser: 22M keeps VRCNet's 1536->3072 C=128 upsample
+    # at tm=1024, both measured-good configurations.)
     for tm in (1024, 512, 256):
+        if n % tm == 0 and tm * n_src * 12 + tm * c * 8 + n_src * c * 6 \
+                <= 22_000_000:
+            return tm
+    for tm in (256, 128):
         if n % tm == 0:
             return tm
     return _TI_TM
@@ -777,7 +802,7 @@ def three_interpolate_fused(features, idx, weight):
 def _ti_forward(features, idx, weight):
     B, Msrc, C = features.shape
     N = idx.shape[1]
-    tm = _ti_tile(N)
+    tm = _ti_tile(N, Msrc, C)
     idx_lm = jnp.swapaxes(idx, 1, 2).astype(jnp.int32)      # (B, 3, N)
     w_lm = jnp.swapaxes(weight, 1, 2)                       # (B, 3, N)
     out = pl.pallas_call(
@@ -812,7 +837,7 @@ def _ti_bwd_rule(res, g):
     features, idx, weight = res
     B, Msrc, C = features.shape
     N = idx.shape[1]
-    tm = _ti_tile(N)
+    tm = _ti_tile(N, Msrc, C)
     idx_lm = jnp.swapaxes(idx, 1, 2).astype(jnp.int32)
     w_lm = jnp.swapaxes(weight, 1, 2)
     dt, dw_lm = pl.pallas_call(
