@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Benchmark: VRCNet completion training throughput (points/sec/chip).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Protocol: the reference trains VRCNet on MVP with batch_size 32 x 2048-point
 clouds (completion/cfgs/vrcnet.yaml); one train step = forward (dual-path,
@@ -10,12 +10,25 @@ measure steady-state steps/sec on synthetic data (the dataset is RAM-resident
 in the reference too, so input cost is negligible) and report
 points/sec/chip = steps/sec * batch * 2048 / n_chips.
 
-``vs_baseline``: the driver's north star is >=3x A100 points/sec/chip
-(BASELINE.md). The reference publishes no throughput numbers, so we use an
-estimated A100 VRCNet training throughput of 160 clouds/sec (~327,680
+``vs_baseline``: the driver's north star is >=3x A100 points/sec/chip ON A
+v5p (BASELINE.md). The reference publishes no throughput numbers, so we use
+an estimated A100 VRCNet training throughput of 160 clouds/sec (~327,680
 points/sec) for a single A100 on this workload; vs_baseline = value /
 (3 * A100_EST) — i.e. vs_baseline >= 1.0 means the 3x target is met. The
-estimate is documented here so the judge can re-derive it.
+estimate's derivation (a FLOP + bandwidth model of the reference's torch
+stack) is in PERF.md §"A100 baseline derivation".
+
+Hardware honesty: the artifact records which chip it actually ran on
+(``chip``/``peak_flops_bf16``) and, when that chip is not a v5p, a
+``vs_baseline_v5p`` projection with its scaling assumption spelled out in
+``v5p_projection_assumption`` — the measured number and the target's chip
+are not silently conflated.
+
+MFU honesty: ``mfu`` uses XLA's compiled cost analysis, which counts the
+one-hot gather/scatter MXU matmuls (O(M*N*C) flops doing O(M*C) data
+movement) as arithmetic. ``mfu_useful`` subtracts those synthetic flops
+(collected at trace time by ops.pallas_kernels.flop_audit) and adds back the
+ops' logical work, so it reflects useful math only. Both are reported.
 """
 
 import json
@@ -26,17 +39,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-A100_EST_POINTS_PER_SEC = 160 * 2048  # estimated A100 VRCNet train throughput
+A100_EST_POINTS_PER_SEC = 160 * 2048  # see PERF.md "A100 baseline derivation"
 TARGET = 3 * A100_EST_POINTS_PER_SEC
 
 NUM_POINTS = 2048
 WARMUP = 3
 STEPS = 30
 
-# Peak MXU throughput used for the MFU denominator. The bench chip is a
-# TPU v5e (v5litepod) core: 197 TFLOP/s bf16 — the precision every matmul
-# in the model actually runs at (XLA DEFAULT rounds matmul inputs to bf16).
-PEAK_FLOPS_BF16 = 197e12
+# Known TPU generations: device_kind substring -> (name, bf16 peak flops/s,
+# HBM bytes/s). Sources: public TPU system architecture tables.
+CHIPS = (
+    ("v5 lite", "v5e", 197e12, 819e9),
+    ("v5litepod", "v5e", 197e12, 819e9),
+    ("v5p", "v5p", 459e12, 2765e9),
+    ("v6 lite", "v6e", 918e12, 1640e9),
+    ("v6e", "v6e", 918e12, 1640e9),
+    ("v4", "v4", 275e12, 1228e9),
+)
+V5P_PEAK, V5P_HBM = 459e12, 2765e9
+
+
+def chip_info():
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", "") or str(dev)
+    for pat, name, peak, hbm in CHIPS:
+        if pat in kind.lower():
+            return kind, name, peak, hbm
+    # Unknown chip: assume v5e numbers (the conservative ones) and say so.
+    return kind, "unknown(assumed v5e)", 197e12, 819e9
 
 
 def build(batch_size):
@@ -69,27 +99,35 @@ def build(batch_size):
 
 
 def step_flops(step, ctx, batch, alpha):
-    """Analytic FLOPs/step from XLA's compiled cost analysis (lower bound:
-    Pallas custom-call kernels are not counted by XLA)."""
+    """(xla_flops, synthetic_flops, useful_flops) per step.
+
+    xla_flops: XLA's compiled cost analysis (includes the Pallas kernels'
+    cost estimates — i.e. the one-hot bookkeeping matmuls). synthetic/useful:
+    trace-time audit of exactly those one-hot kernels (flop_audit docstring).
+    """
+    from mvp_benchmark_tpu.ops import pallas_kernels
+
     try:
-        lowered = step.lower(
-            ctx.params, ctx.batch_stats, ctx.opt_state, dict(batch), alpha,
-            jax.random.PRNGKey(0),
-        )
+        with pallas_kernels.flop_audit() as audit:
+            lowered = step.lower(
+                ctx.params, ctx.batch_stats, ctx.opt_state, dict(batch),
+                alpha, jax.random.PRNGKey(0),
+            )
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        return float(cost.get("flops", 0.0))
+        return (float(cost.get("flops", 0.0)), audit["synthetic"],
+                audit["useful"])
     except Exception:
-        return 0.0
+        return 0.0, 0.0, 0.0
 
 
 def run(batch_size):
     step, ctx, batch = build(batch_size)
+    alpha = jnp.asarray(0.5)
+    flops, syn, useful = step_flops(step, ctx, batch, alpha)
     params, bs, opt = ctx.params, ctx.batch_stats, ctx.opt_state
     rng = jax.random.PRNGKey(0)
-    alpha = jnp.asarray(0.5)
-    flops = step_flops(step, ctx, batch, alpha)
 
     for _ in range(WARMUP):
         rng, r = jax.random.split(rng)
@@ -108,7 +146,7 @@ def run(batch_size):
     float(aux["total_loss"])
     dt = time.perf_counter() - t0
     steps_per_sec = STEPS / dt
-    return steps_per_sec, flops
+    return steps_per_sec, flops, syn, useful
 
 
 def per_model_table():
@@ -138,25 +176,47 @@ def per_model_table():
 
 def main():
     n_chips = max(jax.device_count(), 1)
+    kind, chip, peak, hbm = chip_info()
     err = None
     for batch_size in (32, 16, 8):
         try:
-            sps, flops = run(batch_size)
+            sps, flops, syn, useful = run(batch_size)
             pps = sps * batch_size * NUM_POINTS / n_chips
-            # MFU: XLA-counted matmul/conv flops per step (excludes Pallas
-            # custom calls -> a lower bound) over the bf16 MXU peak.
-            mfu = sps * flops / (PEAK_FLOPS_BF16 * n_chips)
+            # MFU over the bench chip's bf16 peak (the precision every
+            # matmul actually runs at; XLA DEFAULT rounds inputs to bf16).
+            mfu = sps * flops / (peak * n_chips)
+            mfu_useful = sps * max(flops - syn + useful, 0.0) / (peak * n_chips)
             models_ms = per_model_table()
             models_ms["vrcnet"] = round(1e3 / sps, 1)
-            print(json.dumps({
+            out = {
                 "metric": "vrcnet_train_points_per_sec_per_chip",
                 "value": round(pps, 1),
                 "unit": f"points/sec/chip (bs={batch_size}, n={NUM_POINTS})",
                 "vs_baseline": round(pps / TARGET, 4),
+                "chip": kind,
+                "chip_model": chip,
+                "peak_flops_bf16": peak,
                 "mfu": round(mfu, 4),
+                "mfu_useful": round(mfu_useful, 4),
+                "flops_per_step_xla": flops,
+                "flops_per_step_synthetic_onehot": syn,
                 "ms_per_step": round(1e3 / sps, 1),
                 "models_ms_per_step": models_ms,
-            }))
+            }
+            if chip != "v5p":
+                # The north-star target is defined on v5p hardware. Project
+                # by the smaller of the peak-compute and HBM-bandwidth
+                # ratios — valid if every component scales with its binding
+                # resource; components at neither limit (launch/VPU-bound)
+                # would scale less, so this is an upper bound on v5p
+                # throughput, reported as a PROJECTION, not a measurement.
+                scale = min(V5P_PEAK / peak, V5P_HBM / hbm)
+                out["vs_baseline_v5p"] = round(pps * scale / TARGET, 4)
+                out["v5p_projection_assumption"] = (
+                    f"measured on {chip}; scaled by min(peak_flops, "
+                    f"hbm_bw) ratio = {scale:.2f}x (upper bound)"
+                )
+            print(json.dumps(out))
             return
         except Exception as e:  # OOM etc. -> retry smaller batch
             err = e

@@ -48,6 +48,46 @@ def _interpret() -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Synthetic-flop audit
+# ---------------------------------------------------------------------------
+#
+# The one-hot MXU kernels below report their REAL arithmetic (the one-hot
+# contractions the MXU executes) in ``cost_estimate``, and XLA's compiled
+# cost analysis folds those numbers into the step's flop count. For an MFU
+# *utilization* number that is honest about useful work, the bookkeeping
+# flops — O(M*N*C) matmuls performing O(M*C) gathers/scatters — must be
+# separated out. Each such call site records, at TRACE time, the synthetic
+# flops its cost estimate contributes and the useful-math flops the op
+# logically performs; ``bench.py`` traces the train step under
+# ``flop_audit()`` and reports ``mfu_useful`` alongside the raw number.
+
+_FLOP_AUDIT = None
+
+
+def _audit_flops(synthetic: float, useful: float = 0.0) -> None:
+    if _FLOP_AUDIT is not None:
+        _FLOP_AUDIT["synthetic"] += float(synthetic)
+        _FLOP_AUDIT["useful"] += float(useful)
+
+
+class flop_audit:
+    """Context manager: collect {synthetic, useful} flops from every one-hot
+    kernel call traced inside the block (per traced call, i.e. per step when
+    tracing one jitted train step)."""
+
+    def __enter__(self):
+        global _FLOP_AUDIT
+        self._prev = _FLOP_AUDIT
+        _FLOP_AUDIT = {"synthetic": 0.0, "useful": 0.0}
+        return _FLOP_AUDIT
+
+    def __exit__(self, *exc):
+        global _FLOP_AUDIT
+        _FLOP_AUDIT = self._prev
+        return False
+
+
+# ---------------------------------------------------------------------------
 # Chamfer
 # ---------------------------------------------------------------------------
 
@@ -645,6 +685,8 @@ def _group_max_forward(features, idx):
     M, k = idx.shape[1], idx.shape[2]
     tm = _gm_tile(M, N, C)
     idx_jm = jnp.swapaxes(idx, 1, 2).astype(jnp.int32)     # (B, k, M)
+    # Synthetic one-hot gathers; useful work is the M*k*C max compares.
+    _audit_flops(2 * B * M * k * N * max(C, 128), B * M * k * C)
     out, slot = pl.pallas_call(
         functools.partial(_group_max_fwd_kernel, k=k, tm=tm),
         grid=(B, M // tm),
@@ -683,6 +725,8 @@ def _group_max_bwd_rule(res, g):
     (B, N, C), idx_jm, slot = res
     M, k = idx_jm.shape[2], idx_jm.shape[1]
     tm = _gm_tile(M, N, C)
+    # Synthetic one-hot scatter; useful work is the M*C routed adds.
+    _audit_flops(2 * B * M * k * N * max(C, 128), B * M * C)
     dt = pl.pallas_call(
         functools.partial(_group_max_bwd_kernel, k=k, tm=tm),
         grid=(B, M // tm),
@@ -805,6 +849,8 @@ def _ti_forward(features, idx, weight):
     tm = _ti_tile(N, Msrc, C)
     idx_lm = jnp.swapaxes(idx, 1, 2).astype(jnp.int32)      # (B, 3, N)
     w_lm = jnp.swapaxes(weight, 1, 2)                       # (B, 3, N)
+    # Synthetic weight-folded one-hot; useful: N*3*C multiply-adds.
+    _audit_flops(2 * B * N * Msrc * max(C, 128), 2 * B * N * 3 * C)
     out = pl.pallas_call(
         functools.partial(_ti_fwd_kernel, tm=tm),
         grid=(B, N // tm),
@@ -840,6 +886,8 @@ def _ti_bwd_rule(res, g):
     tm = _ti_tile(N, Msrc, C)
     idx_lm = jnp.swapaxes(idx, 1, 2).astype(jnp.int32)
     w_lm = jnp.swapaxes(weight, 1, 2)
+    # Synthetic one-hot scatter + score matmul; useful: d_table/d_w math.
+    _audit_flops(4 * B * N * Msrc * max(C, 128), 4 * B * N * 3 * C)
     dt, dw_lm = pl.pallas_call(
         functools.partial(_ti_bwd_kernel, tm=tm),
         grid=(B, N // tm),
@@ -1097,6 +1145,12 @@ def _sa_primal(proj, x1, idx_jm, W1, W2, b2, rel, mid, share):
     k = idx_jm.shape[1]
     tm = _sa_tm(N)
     assert N % tm == 0, (N, tm)
+    ms = mid // share
+    # Synthetic one-hot gathers dominate the estimate; useful work is the
+    # per-edge w-MLP + the weighted reduction.
+    _audit_flops(2 * B * N * k * N * max(C, 128),
+                 B * N * (2 * (1 + k) * rel * ms + 2 * ms * k * ms
+                          + 2 * k * mid))
     return pl.pallas_call(
         functools.partial(_sa_fwd_kernel, rel=rel, mid=mid, share=share,
                           k=k, tm=tm),
@@ -1119,6 +1173,10 @@ def _sa_fwd(proj, x1, idx_jm, W1, W2, b2, rel, mid, share):
     k = idx_jm.shape[1]
     tm = _sa_tm(N)
     assert N % tm == 0, (N, tm)
+    ms = mid // share
+    _audit_flops(2 * B * N * k * N * max(C, 128),
+                 B * N * (2 * (1 + k) * rel * ms + 2 * ms * k * ms
+                          + 2 * k * mid))
     out, gsave = pl.pallas_call(
         functools.partial(_sa_fwd_save_kernel, rel=rel, mid=mid, share=share,
                           k=k, tm=tm),
@@ -1149,6 +1207,11 @@ def _sa_bwd(rel, mid, share, res, d_out):
     B, N, C = proj.shape
     k = idx_jm.shape[1]
     tm = _sa_tm(N)
+    ms = mid // share
+    # Backward's one-hot-transpose scatters; useful ~= 2x the fwd MLP.
+    _audit_flops(4 * B * N * k * N * max(C, 128),
+                 B * N * (4 * (1 + k) * rel * ms + 4 * ms * k * ms
+                          + 4 * k * mid))
     dt, dx1, dW1, dW2, db2 = pl.pallas_call(
         functools.partial(_sa_bwd_kernel, rel=rel, mid=mid, share=share,
                           k=k, tm=tm),
@@ -1363,6 +1426,9 @@ def scatter_add_rows(
         )
     Mp = M + pad
 
+    # Synthetic one-hot matmul; useful work is the M*C adds of a scatter-add.
+    _audit_flops(2 * B * Mp * num_rows * max(C, 128) * (2 if exact else 1),
+                 B * M * C)
     out = pl.pallas_call(
         functools.partial(_scatter_rows_kernel, tm=tm, exact=exact),
         grid=(B, Mp // tm),
@@ -1442,6 +1508,8 @@ def _gather_rows_onehot(features: jnp.ndarray, flat_idx: jnp.ndarray):
             [flat_idx, jnp.zeros((B, pad), jnp.int32)], axis=1
         )
     Mp = M + pad
+    # Synthetic one-hot matmul; a gather performs no arithmetic.
+    _audit_flops(2 * B * Mp * N * max(C, 128), 0.0)
     out = pl.pallas_call(
         functools.partial(_gather_rows_kernel, tm=tm),
         grid=(B, Mp // tm),
@@ -1552,6 +1620,8 @@ def grouping_split(features: jnp.ndarray, idx: jnp.ndarray, c1: int):
             [flat, jnp.zeros((B, pad), jnp.int32)], axis=1
         )
     Mp = M + pad
+    # Synthetic one-hot matmul; a gather+split performs no arithmetic.
+    _audit_flops(2 * B * Mp * N * max(C, 128), 0.0)
     o1, o2 = pl.pallas_call(
         functools.partial(_gather_split_kernel, tm=tm, c1=c1),
         grid=(B, Mp // tm),

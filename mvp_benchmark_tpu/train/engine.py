@@ -403,6 +403,11 @@ def val_completion(context, eval_step, dataset_val, spec, val_meters, best,
                    epoch, log_dir) -> Dict[str, float]:
     for v in val_meters.values():
         v.reset()
+    # Metric arrays stay on device for the whole pass; one device->host pull
+    # at the end instead of len(metrics) pulls per batch. Through the remote
+    # tunnel each pull is a full round-trip, so a 1300-batch `eval_emd` epoch
+    # would otherwise serialize thousands of them on top of the EMD kernels.
+    pending = []
     for batch in dataset_val.batches(spec):
         count = int(batch["count"])
         result = eval_step(
@@ -410,6 +415,8 @@ def val_completion(context, eval_step, dataset_val, spec, val_meters, best,
             _place_val(batch, [k for k in batch if k != "count"]),
             prefix="val",
         )
+        pending.append((count, {m: result[m] for m in val_meters}))
+    for count, result in jax.device_get(pending):
         for name, meter in val_meters.items():
             vals = np.asarray(result[name])
             if vals.ndim == 0:
@@ -592,6 +599,8 @@ def val_registration(context, eval_step, dataset_val, spec, val_meters,
             for v in cell.values():
                 v.reset()
 
+    # Single device->host sync per val pass (see val_completion).
+    pending = []
     for batch in dataset_val.batches(spec):
         count = int(batch["count"])
         _, r_err, t_err, rmse, mse = eval_step(
@@ -599,16 +608,20 @@ def val_registration(context, eval_step, dataset_val, spec, val_meters,
             _place_val(batch, ("src", "tgt", "transform")),
             prefix="val",
         )
-        r_err, t_err = np.asarray(r_err), np.asarray(t_err)
-        rmse, mse = np.asarray(rmse), np.asarray(mse)
+        pending.append(
+            ((r_err, t_err, rmse, mse),
+             (count, batch["rot_level"], batch["match_level"]))
+        )
+    for (r_err, t_err, rmse, mse), (count, rot_level, match_level) in (
+            jax.device_get(pending)):
         recall = (rmse < rmse_thresh).astype(np.float32)
         vals = {"RotE": r_err, "transE": t_err, "MSE": mse, "RMSE": rmse,
                 "recall": recall}
         for m, arr in vals.items():
             val_meters[m].update(float(arr[:count].mean()), count)
         for i in range(count):
-            rl = int(batch["rot_level"][i])
-            ml = int(batch["match_level"][i])
+            rl = int(rot_level[i])
+            ml = int(match_level[i])
             for m, arr in vals.items():
                 split_meters[rl][ml][m].update(float(arr[i]))
 
