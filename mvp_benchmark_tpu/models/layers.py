@@ -99,7 +99,11 @@ class TorchDense(nn.Module):
                 lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
                 (self.features,),
             )
-            y = y + bias
+            # Cast BEFORE the add: under the bf16 policy the output is cast
+            # anyway, and adding at the storage dtype halves the HBM traffic
+            # of the (rows, D) bias pass when XLA doesn't fuse it into the
+            # GEMM epilogue (f32 policy: y is already f32 — no change).
+            y = y.astype(dt) + bias.astype(dt)
         return y.astype(dt)
 
 

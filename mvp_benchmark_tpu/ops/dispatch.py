@@ -93,12 +93,12 @@ def three_nn(target, source):
 
         t = lax.stop_gradient(target)
         s = lax.stop_gradient(source)
-        _, idx = pallas_kernels.knn_pallas(t, s, 3)
-        # The kernel's packed-key distances are quantized (~2^-11 relative);
-        # recompute exact fp32 distances from the gathered neighbours (the
-        # CUDA three_nn returns exact sqrt distances).
-        neigh = pallas_kernels.grouping_operation(s, idx)    # (B, N, 3, 3)
-        sqd = jnp.sum((t[:, :, None, :] - neigh) ** 2, axis=-1)
+        # The kernel's packed-key selection keys are quantized (~2^-11
+        # relative); exact_dist makes the kernel emit the exact fp32
+        # distance at each selected column (the CUDA three_nn returns exact
+        # sqrt distances) — previously an XLA row-gather recompute per edge
+        # (~5 ms/step at VRCNet scale).
+        sqd, idx = pallas_kernels.knn_pallas(t, s, 3, exact_dist=True)
         dist = jnp.sqrt(jnp.maximum(sqd, 0.0))
         return lax.stop_gradient(dist), idx
     return jnp_ref.three_nn(target, source)

@@ -267,6 +267,115 @@ def _chamfer_bwd_dir(a, b, i1, g1, i2, g2):
 CHAMFER_BWD_PALLAS = False
 
 
+def _chamfer_grad_mxu_kernel(a_ref, t_hi_ref, t_lo_ref, i1_ref, g1_ref,
+                             i2_ref, da_ref, *, tn, exact):
+    """One direction of the chamfer backward as TWO one-hot MXU matmuls.
+
+        da[n] = 2 g1[n] (a[n] - b[i1[n]]) + 2 a[n] s0[n] - 2 t[n]
+        s0[n] = sum_m [i2[m]==n] g2[m]     t[n] = sum_m [i2[m]==n] g2[m] b[m]
+
+    The gather b[i1] and the segment sums (s0, t) both contract a 0/1
+    (TN, M) mask against ONE shared lane-padded table
+    T = [g2 | g2*b | b | 0...] (M, 128) — the gather uses a column one-hot
+    of i1, the scatter a row-membership mask of i2. The earlier C=3 MXU
+    attempt produced 3-lane matmul outputs (Mosaic-slow); here outputs are
+    full 128-lane registers and only the final (3, TN) store is narrow.
+    ``exact``: hi+lo bf16 table split (~1e-6 of fp32); False rounds the
+    table to bf16 once (~2^-9), halving MXU work."""
+    t = pl.program_id(1)
+    m = t_hi_ref.shape[1]
+    colM = lax.broadcasted_iota(jnp.int32, (tn, m), 1)
+    rowN = lax.broadcasted_iota(jnp.int32, (tn, m), 0) + t * tn
+
+    i1 = i1_ref[0, 0, pl.ds(t * tn, tn)]                    # (TN,)
+    g1 = g1_ref[0, 0, pl.ds(t * tn, tn)]                    # (TN,)
+    oh1 = (colM == i1[:, None]).astype(jnp.bfloat16)        # (TN, M)
+    mask2 = (i2_ref[0, 0, :][None, :] == rowN).astype(jnp.bfloat16)
+
+    def onehot_dot(oh):
+        acc = jnp.dot(oh, t_hi_ref[0], preferred_element_type=jnp.float32)
+        if exact:
+            acc += jnp.dot(oh, t_lo_ref[0],
+                           preferred_element_type=jnp.float32)
+        return acc                                           # (TN, 128)
+
+    G = onehot_dot(oh1)                                      # b[i1] in 4:7
+    S = onehot_dot(mask2)                                    # [s0, t] in 0:4
+    for c in range(3):
+        a_c = a_ref[0, pl.ds(t * tn, tn), c]                 # (TN,)
+        da_ref[0, c, :] = 2.0 * (
+            g1 * (a_c - G[:, 4 + c]) + a_c * S[:, 0] - S[:, 1 + c]
+        )
+
+
+def _chamfer_grad_mxu(a, b, i1, g1, i2, g2, exact=True):
+    """da for one direction (see kernel). Build the shared lane-padded
+    table XLA-side once; the kernel keeps it VMEM-resident across tiles."""
+    B, N, _ = a.shape
+    M = b.shape[1]
+    TN = _chamfer_tile(N)
+    g2f = g2.astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    T = jnp.concatenate(
+        [g2f[..., None], g2f[..., None] * bf, bf,
+         jnp.zeros((B, M, 121), jnp.float32)], axis=-1,
+    )
+    T_hi = T.astype(jnp.bfloat16)
+    T_lo = (T - T_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    passes = 2 if exact else 1
+    # Synthetic one-hot contractions; useful work is the CUDA backward's
+    # +-2g(p-q) adds (reference chamfer3D.cu:155-174).
+    _audit_flops(2 * 2 * B * N * M * 128 * passes, B * N * 3 * 4)
+    da = pl.pallas_call(
+        functools.partial(_chamfer_grad_mxu_kernel, tn=TN, exact=exact),
+        grid=(B, N // TN),
+        in_specs=[
+            pl.BlockSpec((1, N, 3), lambda bi, t: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, 128), lambda bi, t: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, 128), lambda bi, t: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda bi, t: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda bi, t: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M), lambda bi, t: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, TN), lambda bi, t: (bi, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 3, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * N * M * 128 * passes,
+            bytes_accessed=B * (N * 12 + M * 128 * 2 * passes + (N + M) * 8),
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(
+        a.astype(jnp.float32),
+        T_hi,
+        T_lo,
+        i1.reshape(B, 1, N), g1.astype(jnp.float32).reshape(B, 1, N),
+        i2.reshape(B, 1, M),
+    )
+    return jnp.swapaxes(da, 1, 2)                            # (B, N, 3)
+
+
+# The one-hot MXU backward: ~2 full-lane matmuls per direction instead of
+# XLA's two row gathers + one row-at-a-time scatter (~1.7 + 2.0 ms each at
+# B64xN2048). Each direction is its own pallas_call, so the gt-side
+# gradient (never needed — losses are calc_cd(pred, gt)) stays DCE-able.
+CHAMFER_BWD_MXU = True
+_CHAMFER_MXU_MAX = 4096  # (M, 128) table + (TN, M) masks must fit VMEM
+# Table precision for the MXU backward. True: hi+lo bf16 split (~1e-6 of
+# fp32, 4 matmuls/direction). False: single bf16 rounding (~2^-9 relative
+# on the gradient, 2 matmuls) — set by engine.apply_compute_dtype for the
+# bf16 activation policy, whose Dense backwards already round every matmul
+# input to bf16; the fp32 policy keeps the exact split.
+CHAMFER_MXU_EXACT = True
+
+
 def _chamfer_bwd(res, g):
     """CUDA-equivalent backward (chamfer3D.cu:155-174): +-2 g (p - q) routed
     through the argmin pairs, scatter-add on the opposite cloud. Two
@@ -276,6 +385,12 @@ def _chamfer_bwd(res, g):
     a, b, i1, i2 = res
     g1, g2, _, _ = g
     N, M = a.shape[1], b.shape[1]
+    if CHAMFER_BWD_MXU and not _interpret() \
+            and N % 128 == 0 and M % 128 == 0 \
+            and N <= _CHAMFER_MXU_MAX and M <= _CHAMFER_MXU_MAX:
+        da = _chamfer_grad_mxu(a, b, i1, g1, i2, g2, exact=CHAMFER_MXU_EXACT)
+        db = _chamfer_grad_mxu(b, a, i2, g2, i1, g1, exact=CHAMFER_MXU_EXACT)
+        return da.astype(a.dtype), db.astype(b.dtype)
     if CHAMFER_BWD_PALLAS and not _interpret() \
             and N % 128 == 0 and M % 128 == 0:
         da = _chamfer_bwd_dir(a, b, i1, g1, i2, g2)
@@ -362,7 +477,8 @@ def furthest_point_sample(xyz: jnp.ndarray, num_samples: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _knn_kernel(q_ref, p_ref, idx_ref, dist_ref, *, k):
+def _knn_kernel(q_ref, p_ref, idx_ref, dist_ref, *, k, exact_dist=False,
+                g_size=256):
     """Grid=(B, M/TM). One (TM, N) distance tile in VMEM; neighbours emitted
     in ascending-distance order via k packed-key min sweeps. Outputs are
     (1, k, TM) so every store is a full lane row.
@@ -392,6 +508,14 @@ def _knn_kernel(q_ref, p_ref, idx_ref, dist_ref, *, k):
         # where the parity bar is exact. Only for tiny dims: the unrolled
         # planes blow up Mosaic compile time at feature widths (a C=24
         # feature-space kNN made the ECG step compile run tens of minutes).
+        # Round-4 note: routing these through the MXU |q|^2+|p|^2-2qp
+        # expansion (bf16 hi/lo) was measured and REJECTED — the expansion
+        # computes small d as a difference of O(1) norms, a catastrophic
+        # cancellation that leaves ~3e-5 ABSOLUTE noise (9.6% relative on
+        # near-neighbour distances in the parity test), far above the
+        # packed key's ~2^-12 RELATIVE quantization. The planes' extra VPU
+        # passes buy exact-at-fp32 distances; selection fidelity
+        # (PERF.md kNN fidelity stats) depends on them.
         d = jnp.zeros((tm, n), jnp.float32)
         for c in range(dim):
             diff = q_ref[0, :, c][:, None] - p_ref[0, :, c][None, :]
@@ -429,18 +553,32 @@ def _knn_kernel(q_ref, p_ref, idx_ref, dist_ref, *, k):
         key = (d_bits & ~lomask) | col                        # (TM, N)
         sentinel = jnp.int32(0x7F000000)                      # > any distance
 
+        def put_dist(j, kmin):
+            """Distance output for slot j. Default: the packed key's
+            quantized distance (low mantissa bits replaced by the index).
+            exact_dist: masked-min lookup of the exact fp32 distance at the
+            selected column (what dispatch.three_nn otherwise recomputes
+            with an XLA row gather per edge — ~5 ms/step at VRCNet scale)."""
+            if exact_dist:
+                dist_ref[0, j, :] = jnp.min(
+                    jnp.where(col == (kmin & lomask), d, jnp.float32(jnp.inf)),
+                    axis=1,
+                )
+            else:
+                dist_ref[0, j, :] = pltpu.bitcast(
+                    kmin & ~lomask, jnp.float32
+                )[:, 0]
+
         def extract_sweeps(key):
             """k full-width packed-key min sweeps (the round-2 formulation;
             the exact fallback for the two-level fast path below)."""
             for j in range(k):
                 kmin = jnp.min(key, axis=1, keepdims=True)    # (TM, 1)
                 idx_ref[0, j, :] = (kmin & lomask)[:, 0]
-                dist_ref[0, j, :] = pltpu.bitcast(
-                    kmin & ~lomask, jnp.float32
-                )[:, 0]
+                put_dist(j, kmin)
                 key = jnp.where(key == kmin, sentinel, key)
 
-        G = 256
+        G = g_size
         S = n // G
         if n % G == 0 and S >= 2:
             # Two-level extraction: fold the N lanes into S slabs of G
@@ -476,9 +614,7 @@ def _knn_kernel(q_ref, p_ref, idx_ref, dist_ref, *, k):
             for j in range(k):
                 kmin = jnp.min(g[0], axis=1, keepdims=True)   # (TM, 1)
                 idx_ref[0, j, :] = (kmin & lomask)[:, 0]
-                dist_ref[0, j, :] = pltpu.bitcast(
-                    kmin & ~lomask, jnp.float32
-                )[:, 0]
+                put_dist(j, kmin)
                 sel = g[0] == kmin
                 if j < k - 1:
                     trip = trip | jnp.any(sel & (g[1] == RESCAN))
@@ -511,21 +647,26 @@ def _knn_tile(m: int) -> int:
     return m
 
 
+_KNN_G = 256  # two-level extraction slab width (micro-benched; see PERF.md)
+
+
 def knn_pallas(
-    query: jnp.ndarray, points: jnp.ndarray, k: int, tm: int | None = None
+    query: jnp.ndarray, points: jnp.ndarray, k: int, tm: int | None = None,
+    exact_dist: bool = False, g_size: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused kNN: (B, M, C) queries in (B, N, C) points ->
     (approx_sqdist, idx), both (B, M, k), nearest first. The (B, M, N)
     distance matrix never leaves VMEM (the jnp path materializes it in HBM
     and runs lax.top_k over it).
 
-    INVARIANT: the first output is an APPROXIMATE squared distance — on the
-    packed-key path the low ceil(log2 N) mantissa bits are replaced by the
-    neighbour index, biasing values low by up to ~2^-(23 - log2 N) relative
-    (~5e-4 at N=2048). It exists to order/inspect neighbours, not to be
-    consumed as a distance. Every in-repo caller (knn_points,
-    dispatch.three_nn) recomputes exact distances from the gathered
-    neighbours; new callers must do the same.
+    INVARIANT: with exact_dist=False the first output is an APPROXIMATE
+    squared distance — on the packed-key path the low ceil(log2 N) mantissa
+    bits are replaced by the neighbour index, biasing values low by up to
+    ~2^-(23 - log2 N) relative (~5e-4 at N=2048). It exists to
+    order/inspect neighbours, not to be consumed as a distance. Callers
+    needing real distances pass exact_dist=True (a masked-min lookup of the
+    exact fp32 distance inside the kernel — 2 extra VPU passes per slot) or
+    recompute from the gathered neighbours.
     """
     B, M, C = query.shape
     N = points.shape[1]
@@ -533,7 +674,8 @@ def knn_pallas(
     TM = tm if tm is not None and M % tm == 0 else _knn_tile(M)
 
     idx, dist = pl.pallas_call(
-        functools.partial(_knn_kernel, k=k),
+        functools.partial(_knn_kernel, k=k, exact_dist=exact_dist,
+                          g_size=g_size or _KNN_G),
         grid=(B, M // TM),
         in_specs=[
             pl.BlockSpec((1, TM, C), lambda bi, i: (bi, i, 0),

@@ -77,11 +77,15 @@ def apply_compute_dtype(cfg: Config) -> None:
     ('bf16'/'bfloat16' or 'f32'/'float32'; default f32). Must run before
     model init / step tracing (the policy is read at trace time)."""
     from mvp_benchmark_tpu.models import layers as _layers
+    from mvp_benchmark_tpu.ops import pallas_kernels as _pk
 
     want = str(cfg.compute_dtype or "float32").lower()
-    _layers.set_compute_dtype(
-        jnp.bfloat16 if want in ("bf16", "bfloat16") else jnp.float32
-    )
+    bf16 = want in ("bf16", "bfloat16")
+    _layers.set_compute_dtype(jnp.bfloat16 if bf16 else jnp.float32)
+    # bf16 activation mode: the chamfer backward's one-hot table rounds to
+    # a single bf16 pass (every Dense backward already rounds its matmul
+    # inputs to bf16); fp32 keeps the hi+lo exact split.
+    _pk.CHAMFER_MXU_EXACT = not bf16
 
 
 # ---------------------------------------------------------------------------

@@ -774,3 +774,66 @@ class TestGnnPropagate:
                                                     train=False)
         np.testing.assert_allclose(np.asarray(xk), np.asarray(xr),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_knn_pallas_exact_dist(rng):
+    """exact_dist=True emits the true fp32 squared distance at each selected
+    column (the three_nn contract — CUDA three_nn returns exact dists),
+    bypassing the packed key's index-bit quantization. Covers both the
+    two-level fast path (N=512 -> 2 slabs) and the full-sweep path (N=256
+    -> 1 slab falls back to extract_sweeps)."""
+    for N in (512, 256):
+        q = rng.random((2, 256, 3), dtype=np.float64).astype(np.float32)
+        p = rng.random((2, N, 3), dtype=np.float64).astype(np.float32)
+        sqd, idx = pallas_kernels.knn_pallas(
+            jnp.asarray(q), jnp.asarray(p), 3, exact_dist=True
+        )
+        idx = np.asarray(idx)
+        for b in range(2):
+            sel = p[b][idx[b]]                       # (256, 3, 3)
+            want = np.sum((q[b][:, None, :] - sel) ** 2, -1)
+            np.testing.assert_allclose(np.asarray(sqd[b]), want,
+                                       rtol=1e-6, atol=1e-7)
+
+
+def test_three_nn_dispatch_exact(rng):
+    """dispatch.three_nn must return exact sqrt distances at lane-aligned
+    shapes (the in-kernel exact_dist path replaces the row-gather
+    recompute)."""
+    from mvp_benchmark_tpu.ops import dispatch
+
+    t = rng.random((2, 256, 3), dtype=np.float64).astype(np.float32)
+    s = rng.random((2, 512, 3), dtype=np.float64).astype(np.float32)
+    dist, idx = dispatch.three_nn(jnp.asarray(t), jnp.asarray(s))
+    gd, gi = jnp_ref.three_nn(jnp.asarray(t), jnp.asarray(s))
+    np.testing.assert_allclose(np.asarray(dist), np.asarray(gd),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_chamfer_grad_mxu_matches_xla(rng):
+    """The one-hot MXU backward (the TPU path, gated off on CPU dispatch)
+    must reproduce XLA's gather/scatter backward. hi+lo bf16 table split ->
+    ~1e-6 relative of the fp32 formulation."""
+    a, b = clouds(rng, B=2, N=256, M=128)
+    d1, d2, i1, i2 = jnp_ref.chamfer_distance(a, b)
+    g1 = rng.random(d1.shape).astype(np.float32)
+    g2 = rng.random(d2.shape).astype(np.float32)
+    a_j, b_j = jnp.asarray(a), jnp.asarray(b)
+    g1_j, g2_j = jnp.asarray(g1), jnp.asarray(g2)
+
+    da = pallas_kernels._chamfer_grad_mxu(a_j, b_j, i1, g1_j, i2, g2_j)
+    db = pallas_kernels._chamfer_grad_mxu(b_j, a_j, i2, g2_j, i1, g1_j)
+
+    b_sel = jnp.take_along_axis(b_j, i1[..., None], axis=1)
+    a_sel = jnp.take_along_axis(a_j, i2[..., None], axis=1)
+    diff1 = 2.0 * g1_j[..., None] * (a_j - b_sel)
+    diff2 = 2.0 * g2_j[..., None] * (b_j - a_sel)
+    scatter = jax.vmap(lambda acc, idx, upd: acc.at[idx].add(upd))
+    want_da = diff1 + scatter(jnp.zeros_like(a_j), i2, -diff2)
+    want_db = diff2 + scatter(jnp.zeros_like(b_j), i1, -diff1)
+    # hi+lo bf16 split: ~1e-6 relative per term; segment sums over many-
+    # member buckets accumulate to a few 1e-5 absolute worst-case.
+    np.testing.assert_allclose(np.asarray(da), np.asarray(want_da),
+                               rtol=1e-3, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(want_db),
+                               rtol=1e-3, atol=5e-5)
