@@ -1093,7 +1093,12 @@ _SA_TM = 128
 
 def _sa_expand(w_small, mid, ms):
     """(TM, ms) -> (TM, mid): channel c takes w[:, c % ms] (the torch
-    jnp.tile(w, share) layout), as an MXU matmul with a 0/1 matrix."""
+    jnp.tile(w, share) layout), as an MXU matmul with a 0/1 matrix.
+    Round-4 note: register-concat / slice-sum formulations (avoiding the
+    narrow-lane matmul outputs) were measured and REJECTED — they raised
+    the backward kernel's live VMEM past the 16 MiB Mosaic stack at every
+    level tried (L1/L2/L3 OOM in turn); the kernel sits within ~1 MB of
+    the stack limit and the tiny matmuls are not its bottleneck."""
     row = lax.broadcasted_iota(jnp.int32, (ms, mid), 0)
     colc = lax.broadcasted_iota(jnp.int32, (ms, mid), 1)
     F = (colc % ms == row).astype(jnp.float32)
@@ -1220,7 +1225,10 @@ def _sa_bwd_kernel(idx_ref, x1_ref, g_ref, W1_ref, W2_ref, b2_ref, dout_ref,
     dx1_ref[0] = d_cat[:, :rel].astype(dx1_ref.dtype)
     d_x2f = d_cat[:, rel:]
 
-    # d_table += sum_j oh_j^T [d_x2f_j | d_gmid_j]
+    # d_table += sum_j oh_j^T [d_x2f_j | d_gmid_j]. (Zero-padding the
+    # cotangent block to 128 lanes for full-lane matmul outputs was
+    # measured and REJECTED: the (N, 128) f32 accumulator blew the Mosaic
+    # kernel stack — see _sa_expand note.)
     col = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
     dt_acc = jnp.zeros((n, rel + mid), jnp.float32)
     for j in range(k):
