@@ -42,13 +42,18 @@ def time_train_protocol():
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.random((32, 2048, 3), np.float32))
     b = jnp.asarray(rng.random((32, 2048, 3), np.float32))
-    f = jax.jit(lambda a, b: calc_emd(a, b, eps=0.005, iterations=50))
+    # One jitted scalar so the final host pull forces the chained sequence
+    # WITHOUT compiling anything inside the timed region (a stray
+    # `out.mean()` compile through the tunnel is ~60 s and poisoned the
+    # first measurement of this tool at "13 s/call").
+    f = jax.jit(
+        lambda a, b: calc_emd(a, b, eps=0.005, iterations=50).mean())
     out = f(a, b)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(REPS):
         out = f(a, b)
-    val = float(out.mean())
+    val = float(out)
     dt = (time.perf_counter() - t0) / REPS
     print(json.dumps({
         "what": "emd train protocol (eps=0.005, iters=50, n=2048, bs=32)",
