@@ -95,10 +95,18 @@ class DGCNN(nn.Module):
 
 
 class MultiHeadedAttention(nn.Module):
-    """h-head attention with shared projections (reference dcp.py:198-229)."""
+    """h-head attention with shared projections (reference dcp.py:198-229).
+
+    ``dtype``: storage dtype for the projections/attention activations.
+    The transformer block is LayerNorm-based (no BatchNorm), so the scoped
+    bf16 mode that REGRESSED the BN-heavy DGCNN stacks (round-2 note) is a
+    pure traffic win here; the f32 residual stream and LayerNorm stats are
+    preserved by the callers.
+    """
 
     h: int
     d_model: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, query, key, value, mask=None):
@@ -106,7 +114,8 @@ class MultiHeadedAttention(nn.Module):
         d_k = self.d_model // self.h
 
         def proj(x, name):
-            y = layers.TorchDense(self.d_model, use_bias=True)(x)
+            y = layers.TorchDense(self.d_model, use_bias=True,
+                                  dtype=self.dtype)(x)
             return y.reshape(B, -1, self.h, d_k).transpose(0, 2, 1, 3)
 
         q = proj(query, "q")
@@ -114,65 +123,81 @@ class MultiHeadedAttention(nn.Module):
         v = proj(value, "v")
         x = layers.mha_attention(q, k, v, mask=mask)
         x = x.transpose(0, 2, 1, 3).reshape(B, -1, self.h * d_k)
-        return layers.TorchDense(self.d_model)(x)
+        return layers.TorchDense(self.d_model, dtype=self.dtype)(x)
 
 
 class FeedForward(nn.Module):
     d_model: int
     d_ff: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        h = nn.relu(layers.TorchDense(self.d_ff)(x))
-        return layers.TorchDense(self.d_model)(h)
+        h = nn.relu(layers.TorchDense(self.d_ff, dtype=self.dtype)(x))
+        return layers.TorchDense(self.d_model, dtype=self.dtype)(h)
 
 
 class EncoderLayer(nn.Module):
     d_model: int
     d_ff: int
     n_heads: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, mask=None):
+        # x (the residual stream) and the LayerNorms stay f32; only the
+        # sublayer activations run at `dtype` (upcast by the residual add).
         a = layers.UnbiasedLayerNorm()(x)
-        x = x + MultiHeadedAttention(self.n_heads, self.d_model)(a, a, a, mask)
+        x = x + MultiHeadedAttention(self.n_heads, self.d_model,
+                                     self.dtype)(a, a, a, mask)
         a = layers.UnbiasedLayerNorm()(x)
-        return x + FeedForward(self.d_model, self.d_ff)(a)
+        return x + FeedForward(self.d_model, self.d_ff, self.dtype)(a)
 
 
 class DecoderLayer(nn.Module):
     d_model: int
     d_ff: int
     n_heads: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, memory, src_mask=None, tgt_mask=None):
         a = layers.UnbiasedLayerNorm()(x)
-        x = x + MultiHeadedAttention(self.n_heads, self.d_model)(a, a, a, tgt_mask)
+        x = x + MultiHeadedAttention(self.n_heads, self.d_model,
+                                     self.dtype)(a, a, a, tgt_mask)
         a = layers.UnbiasedLayerNorm()(x)
-        x = x + MultiHeadedAttention(self.n_heads, self.d_model)(
+        x = x + MultiHeadedAttention(self.n_heads, self.d_model, self.dtype)(
             a, memory, memory, src_mask
         )
         a = layers.UnbiasedLayerNorm()(x)
-        return x + FeedForward(self.d_model, self.d_ff)(a)
+        return x + FeedForward(self.d_model, self.d_ff, self.dtype)(a)
 
 
 class Transformer(nn.Module):
-    """Pointer network: cross-attend src<->tgt (reference dcp.py:304-328)."""
+    """Pointer network: cross-attend src<->tgt (reference dcp.py:304-328).
+
+    ``dtype=bfloat16`` stores the sublayer activations in bf16 (f32
+    residual stream / LayerNorm stats / parameter math): XLA DEFAULT
+    already rounds every matmul INPUT to bf16, so this halves HBM traffic
+    at a one-rounding numerics change.
+    """
 
     emb_dims: int = 512
     n_blocks: int = 1
     n_heads: int = 4
     ff_dims: int = 1024
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, src, tgt):
         encoder = [
-            EncoderLayer(self.emb_dims, self.ff_dims, self.n_heads)
+            EncoderLayer(self.emb_dims, self.ff_dims, self.n_heads,
+                         self.dtype)
             for _ in range(self.n_blocks)
         ]
         decoder = [
-            DecoderLayer(self.emb_dims, self.ff_dims, self.n_heads)
+            DecoderLayer(self.emb_dims, self.ff_dims, self.n_heads,
+                         self.dtype)
             for _ in range(self.n_blocks)
         ]
         enc_norm = layers.UnbiasedLayerNorm()
@@ -200,19 +225,48 @@ def svd_head(src_embedding, tgt_embedding, src, tgt):
     Returns R (B,3,3), t (B,3).
     """
     d_k = src_embedding.shape[-1]
-    # The pointer scores run at DEFAULT precision like every other
-    # embedding matmul (HIGHEST = 6 MXU passes over a 2048^2 matrix was
-    # ~17 ms/step); the 3x3 covariance below stays HIGHEST — that is where
-    # rotation accuracy is decided.
-    scores = jnp.einsum(
-        "bnd,bmd->bnm", src_embedding, tgt_embedding,
-        preferred_element_type=jnp.float32,
-    ) / math.sqrt(d_k)
-    scores = jax.nn.softmax(scores, axis=2)
-    src_corr = jnp.einsum(
-        "bnm,bmc->bnc", scores, tgt,
-        preferred_element_type=jnp.float32,
-    )
+    # The soft correspondence IS attention: softmax(src_emb tgt_emb^T /
+    # sqrt(d)) @ tgt. Route it through the fused kernel so the (B, N, M)
+    # score/weight planes never reach HBM (the XLA formulation streams
+    # 512 MB of f32 scores through softmax fwd+bwd); tgt is lane-padded to
+    # 128 for full-lane matmul outputs. Scores run at DEFAULT precision
+    # like every other embedding matmul (HIGHEST = 6 MXU passes over a
+    # 2048^2 matrix was ~17 ms/step); the 3x3 covariance below stays
+    # HIGHEST — that is where rotation accuracy is decided.
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        on_tpu = False
+    from mvp_benchmark_tpu.ops import pallas_kernels as _pk
+
+    q4 = src_embedding[:, None]
+    k4 = tgt_embedding[:, None]
+    # D <= 128 only: at D=512 single-head the backward's (M, D) f32 dk
+    # accumulator + K/V panes overflow the 16 MiB Mosaic kernel stack even
+    # at TM=128 with bf16 operands (measured OOM x3); a flash-style
+    # m-tiled backward with saved row stats would lift this (future work).
+    if on_tpu and d_k <= 128 and _pk.fused_attention_ok(
+            q4, k4, jnp.zeros(tgt.shape[:-1] + (128,))[:, None], None):
+        v_pad = jnp.pad(tgt, ((0, 0), (0, 0), (0, 125)))
+        # bf16 operands: the kernel rounds matmul inputs to bf16 anyway
+        # (XLA DEFAULT); passing them pre-cast halves the VMEM-resident
+        # K/V panes — at D=512 single-head the f32 panes + f32 dk
+        # accumulator overflow the 16 MiB kernel stack in the backward.
+        src_corr = _pk.fused_attention(
+            src_embedding.astype(jnp.bfloat16),
+            tgt_embedding.astype(jnp.bfloat16),
+            v_pad.astype(jnp.bfloat16), 1.0 / math.sqrt(d_k)
+        )[..., :3].astype(jnp.float32)
+    else:
+        scores = jnp.einsum(
+            "bnd,bmd->bnm", src_embedding, tgt_embedding,
+            preferred_element_type=jnp.float32,
+        ) / math.sqrt(d_k)
+        scores = jax.nn.softmax(scores, axis=2)
+        src_corr = jnp.einsum(
+            "bnm,bmc->bnc", scores, tgt,
+            preferred_element_type=jnp.float32,
+        )
     src_centered = src - src.mean(axis=1, keepdims=True)
     corr_centered = src_corr - src_corr.mean(axis=1, keepdims=True)
     H = jnp.einsum(
@@ -225,6 +279,12 @@ def svd_head(src_embedding, tgt_embedding, src, tgt):
         + src_corr.mean(axis=1)
     )
     return R, t
+
+
+# Scoped bf16 for the transformer pointer (LayerNorm-based, no BatchNorm —
+# the stack whose bf16 mode regressed in round 2 was the BN-heavy DGCNN).
+# f32 residual stream / LN stats; sublayer activations bf16.
+TRANSFORMER_BF16 = True
 
 
 def build(args=None) -> "Model":
@@ -247,7 +307,10 @@ class Model(nn.Module):
         src_embedding = emb_nn(src, train)
         tgt_embedding = emb_nn(tgt, train)
 
-        src_p, tgt_p = Transformer(self.emb_dims)(src_embedding, tgt_embedding)
+        src_p, tgt_p = Transformer(
+            self.emb_dims,
+            dtype=jnp.bfloat16 if TRANSFORMER_BF16 else None,
+        )(src_embedding, tgt_embedding)
         src_embedding = src_embedding + src_p
         tgt_embedding = tgt_embedding + tgt_p
 

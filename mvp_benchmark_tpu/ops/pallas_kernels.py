@@ -2147,8 +2147,13 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     dv_ref[0] += dv_tile
 
 
-def _attn_tm(n: int) -> int:
-    for tm in (_ATTN_TM, 128):
+def _attn_tm(n: int, d: int = 128) -> int:
+    # Wide single-head attention (the svd_head correspondence, D=512) keeps
+    # a (M, D) f32 dk accumulator + bf16 K pane resident in the backward;
+    # TM=256's extra score registers pushed it past the 16 MiB kernel
+    # stack (measured VMEM OOM) — drop to 128 there.
+    sizes = (128,) if d > 128 else (_ATTN_TM, 128)
+    for tm in sizes:
         if n % tm == 0:
             return tm
     return n
@@ -2164,11 +2169,11 @@ def fused_attention_ok(q, k, v, mask) -> bool:
     Nq, M = q.shape[2], k.shape[2]
     return (
         D % 128 == 0
-        and D == v.shape[-1]
+        and v.shape[-1] % 128 == 0       # value width may differ from D
         and M == v.shape[2]
         and Nq % 128 == 0
         and M % 128 == 0
-        and Nq % _attn_tm(Nq) == 0
+        and Nq % _attn_tm(Nq, D) == 0
     )
 
 
@@ -2184,13 +2189,13 @@ def fused_attention(q, k, v, scale: float):
     return _attn_forward(q, k, v, scale)
 
 
-def _attn_specs(BH, Nq, M, D, tm):
+def _attn_specs(BH, Nq, M, D, Dv, tm):
     return [
         pl.BlockSpec((1, tm, D), lambda bh, t: (bh, t, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, M, D), lambda bh, t: (bh, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, M, D), lambda bh, t: (bh, 0, 0),
+        pl.BlockSpec((1, M, Dv), lambda bh, t: (bh, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
 
@@ -2198,17 +2203,18 @@ def _attn_specs(BH, Nq, M, D, tm):
 def _attn_forward(q, k, v, scale):
     BH, Nq, D = q.shape
     M = k.shape[1]
-    tm = _attn_tm(Nq)
+    Dv = v.shape[-1]
+    tm = _attn_tm(Nq, D)
     return pl.pallas_call(
         functools.partial(_attn_fwd_kernel, scale=float(scale)),
         grid=(BH, Nq // tm),
-        in_specs=_attn_specs(BH, Nq, M, D, tm),
-        out_specs=pl.BlockSpec((1, tm, D), lambda bh, t: (bh, t, 0),
+        in_specs=_attn_specs(BH, Nq, M, D, Dv, tm),
+        out_specs=pl.BlockSpec((1, tm, Dv), lambda bh, t: (bh, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BH, Nq, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((BH, Nq, Dv), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * BH * Nq * M * D,
-            bytes_accessed=BH * (Nq * D * 8 + M * D * 8),
+            flops=2 * BH * Nq * M * (D + Dv),
+            bytes_accessed=BH * (Nq * (D + Dv) * 4 + M * (D + Dv) * 4),
             transcendentals=BH * Nq * M,
         ),
         interpret=_interpret(),
@@ -2223,12 +2229,13 @@ def _attn_bwd(scale, res, d_out):
     q, k, v = res
     BH, Nq, D = q.shape
     M = k.shape[1]
-    tm = _attn_tm(Nq)
+    Dv = v.shape[-1]
+    tm = _attn_tm(Nq, D)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, scale=float(scale)),
         grid=(BH, Nq // tm),
-        in_specs=_attn_specs(BH, Nq, M, D, tm) + [
-            pl.BlockSpec((1, tm, D), lambda bh, t: (bh, t, 0),
+        in_specs=_attn_specs(BH, Nq, M, D, Dv, tm) + [
+            pl.BlockSpec((1, tm, Dv), lambda bh, t: (bh, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -2236,16 +2243,16 @@ def _attn_bwd(scale, res, d_out):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, M, D), lambda bh, t: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, D), lambda bh, t: (bh, 0, 0),
+            pl.BlockSpec((1, M, Dv), lambda bh, t: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, Nq, D), jnp.float32),
             jax.ShapeDtypeStruct((BH, M, D), jnp.float32),
-            jax.ShapeDtypeStruct((BH, M, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH, M, Dv), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=10 * BH * Nq * M * D,
+            flops=6 * BH * Nq * M * D + 4 * BH * Nq * M * Dv,
             bytes_accessed=BH * (2 * Nq * D * 8 + 3 * M * D * 8),
             transcendentals=BH * Nq * M,
         ),

@@ -837,3 +837,38 @@ def test_chamfer_grad_mxu_matches_xla(rng):
                                rtol=1e-3, atol=5e-5)
     np.testing.assert_allclose(np.asarray(db), np.asarray(want_db),
                                rtol=1e-3, atol=5e-5)
+
+
+def test_fused_attention_value_width(rng):
+    """fused_attention with a value width different from D (the svd_head
+    correspondence path: v = lane-padded tgt) vs the dense formulation,
+    values + gradients."""
+    B, N, M, D, Dv = 2, 256, 128, 128, 128
+    q = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, M, D)).astype(np.float32))
+    v = jnp.asarray(
+        np.pad(rng.standard_normal((B, M, 3)).astype(np.float32),
+               ((0, 0), (0, 0), (0, Dv - 3))))
+    scale = 1.0 / np.sqrt(D)
+
+    def dense(q, k, v):
+        s = jax.nn.softmax(
+            jnp.einsum("bnd,bmd->bnm", q, k,
+                       preferred_element_type=jnp.float32) * scale, axis=2)
+        return jnp.einsum("bnm,bmc->bnc", s, v,
+                          preferred_element_type=jnp.float32)
+
+    out = pallas_kernels.fused_attention(q, k, v, scale)
+    ref = dense(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+    gf = jax.grad(lambda q, k: jnp.sum(
+        pallas_kernels.fused_attention(q, k, v, scale)[..., :3] ** 2),
+        argnums=(0, 1))(q, k)
+    gr = jax.grad(lambda q, k: jnp.sum(dense(q, k, v)[..., :3] ** 2),
+                  argnums=(0, 1))(q, k)
+    for a, b in zip(gf, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        scale_ = max(np.abs(b).max(), 1.0)
+        assert (np.abs(a - b) / scale_ < 2e-2).mean() > 0.999
