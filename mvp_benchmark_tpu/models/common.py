@@ -19,19 +19,32 @@ from mvp_benchmark_tpu.models import layers
 
 
 def edge_preserve_sampling(
-    features: jnp.ndarray, points: jnp.ndarray, num_samples: int, k: int = 10
+    features: jnp.ndarray, points: jnp.ndarray, num_samples: int, k: int = 10,
+    knn_idx: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """FPS + kNN max-pooled neighbourhood features (model_utils.py:88-110).
 
     features: (B, N, C), points: (B, N, 3) ->
       (net (B, M, 2C), p_idx (B, M), pn_idx (B, M, pk), sampled points (B, M, 3))
+
+    knn_idx: optional precomputed SELF-kNN of ``points`` (B, N, k') with
+    k' >= pk. The sampled centers are a subset of ``points``, so their
+    pk-NN rows are exactly rows of the self-kNN table (same kernel, same
+    packed-key tie-breaking, neighbours in ascending-distance order —
+    slicing the first pk of a k'-NN list IS the pk-NN list). Passing it
+    replaces this call's full (M, N) kNN kernel with an O(M*k') row gather.
     """
     N = points.shape[1]
     p_idx = ops.furthest_point_sample(points, num_samples)
     point_output = ops.gather_points(points, p_idx)
 
     pk = min(k, N)
-    _, pn_idx = ops.knn_points(point_output, points, pk)
+    if knn_idx is not None and knn_idx.shape[-1] >= pk:
+        pn_idx = jnp.take_along_axis(
+            knn_idx[..., :pk], p_idx[:, :, None], axis=1
+        )
+    else:
+        _, pn_idx = ops.knn_points(point_output, points, pk)
     # fused gather+max: the (B, M, pk, C) neighbourhood tensor stays in
     # kernel registers (ops.group_max)
     neighbor = ops.group_max(features, pn_idx)

@@ -181,6 +181,14 @@ class SASKNResEncoder(nn.Module):
     def _knn_idxs(self, pts):
         return [ops.knn_indices(pts, ki) for ki in self.k]
 
+    def _eps_idx(self, idxs):
+        """Widest precomputed self-kNN branch usable by edge_preserve_sampling
+        (its pk-NN rows are a prefix-slice + row-gather of any k >= pk self-kNN
+        — see common.edge_preserve_sampling). None if every branch is narrower.
+        """
+        widest = max(range(len(self.k)), key=lambda i: self.k[i])
+        return idxs[widest] if self.k[widest] >= self.pk else None
+
     @nn.compact
     def __call__(self, features, train: bool):
         B = features.shape[0]
@@ -192,21 +200,21 @@ class SASKNResEncoder(nn.Module):
         x1 = nn.relu(x)
 
         x, _, _, pt2 = common.edge_preserve_sampling(
-            x1, pt1, self.pts_num[1], self.pk
+            x1, pt1, self.pts_num[1], self.pk, knn_idx=self._eps_idx(idx1)
         )
         idx2 = self._knn_idxs(pt2)
         x = SKNResUnit(c1 * 2, self.k, self.layers_cfg[1])(x, idx2)
         x2 = nn.relu(x)
 
         x, _, _, pt3 = common.edge_preserve_sampling(
-            x2, pt2, self.pts_num[2], self.pk
+            x2, pt2, self.pts_num[2], self.pk, knn_idx=self._eps_idx(idx2)
         )
         idx3 = self._knn_idxs(pt3)
         x = SKNResUnit(c1 * 4, self.k, self.layers_cfg[2])(x, idx3)
         x3 = nn.relu(x)
 
         x, _, _, pt4 = common.edge_preserve_sampling(
-            x3, pt3, self.pts_num[3], self.pk
+            x3, pt3, self.pts_num[3], self.pk, knn_idx=self._eps_idx(idx3)
         )
         idx4 = self._knn_idxs(pt4)
         x = SKNResUnit(c1 * 8, self.k, self.layers_cfg[3])(x, idx4)

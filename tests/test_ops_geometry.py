@@ -205,3 +205,45 @@ class TestGrouping:
             sampler = ops.PointsSampler([16], mods, [-1])
             idx = sampler(xyz, feats)
             assert idx.shape == (2, expected)
+
+
+class TestEdgePreserveSamplingReuse:
+    def test_knn_idx_reuse_is_exact(self, rng):
+        """edge_preserve_sampling(knn_idx=self-kNN) must be bit-identical to
+        the recomputed path: sampled centers are a subset of the points, so
+        their pk-NN rows ARE rows of the self-kNN table (ascending order,
+        same kernel tie-breaking). Covers both the packed (N%128==0) and
+        argmin-sweep kernel paths."""
+        from mvp_benchmark_tpu.models import common
+
+        for N in (128, 96):  # packed path / unaligned fallback path
+            pts = rng.random((2, N, 3), dtype=np.float64).astype(np.float32)
+            feats = rng.random((2, N, 6), dtype=np.float64).astype(np.float32)
+            idx_full = ops.knn_indices(jnp.asarray(pts), 12)
+            net_a, pi_a, pn_a, sp_a = common.edge_preserve_sampling(
+                jnp.asarray(feats), jnp.asarray(pts), N // 2, 8
+            )
+            net_b, pi_b, pn_b, sp_b = common.edge_preserve_sampling(
+                jnp.asarray(feats), jnp.asarray(pts), N // 2, 8,
+                knn_idx=idx_full,
+            )
+            assert np.array_equal(np.asarray(pn_a), np.asarray(pn_b))
+            assert np.array_equal(np.asarray(net_a), np.asarray(net_b))
+            assert np.array_equal(np.asarray(pi_a), np.asarray(pi_b))
+            assert np.array_equal(np.asarray(sp_a), np.asarray(sp_b))
+
+    def test_narrow_knn_idx_falls_back(self, rng):
+        """A knn_idx narrower than pk cannot be sliced — the full kNN runs."""
+        from mvp_benchmark_tpu.models import common
+
+        pts = rng.random((2, 128, 3), dtype=np.float64).astype(np.float32)
+        feats = rng.random((2, 128, 6), dtype=np.float64).astype(np.float32)
+        idx_narrow = ops.knn_indices(jnp.asarray(pts), 4)
+        net_a, _, pn_a, _ = common.edge_preserve_sampling(
+            jnp.asarray(feats), jnp.asarray(pts), 64, 8
+        )
+        net_b, _, pn_b, _ = common.edge_preserve_sampling(
+            jnp.asarray(feats), jnp.asarray(pts), 64, 8, knn_idx=idx_narrow
+        )
+        assert np.array_equal(np.asarray(pn_a), np.asarray(pn_b))
+        assert np.array_equal(np.asarray(net_a), np.asarray(net_b))
