@@ -582,47 +582,55 @@ def _knn_kernel(q_ref, p_ref, idx_ref, dist_ref, *, k, exact_dist=False,
         S = n // G
         if n % G == 0 and S >= 2:
             # Two-level extraction: fold the N lanes into S slabs of G
-            # columns and keep each GROUP's (= lane-across-slabs) top-R
-            # candidates sorted in R (TM, G) registers; each of the k
-            # extractions then runs on G lanes instead of N. Correct unless
-            # some group holds more than R of the true top-k — when a
-            # group's candidates run dry its slot becomes the RESCAN
-            # sentinel, and if that sentinel ever WINS an extraction the
-            # whole tile redoes the exact full-width sweeps (rare:
-            # P(group >= 5 of top-16 | 256-col groups) ~ 1e-6 per row).
-            R = 4
-            # Pop-shifts insert RESCAN; prep pads smaller-than-R groups with
-            # the (larger) `sentinel`. Seeing RESCAN as the popped group's
-            # NEXT candidate means stored candidates ran dry while deeper
-            # real elements may exist -> the tile must redo exact sweeps.
-            # Seeing `sentinel` there means the group was fully stored
-            # (S <= R case or genuinely empty) -> complete information.
+            # columns and keep each GROUP's (= lane-across-slabs) smallest
+            # candidates in (TM, G) registers; each of the k extractions
+            # then runs on G lanes instead of N. Correct unless some group
+            # holds more than DEPTH of the true top-k — when a group's
+            # candidates run dry its slot becomes the RESCAN sentinel, and
+            # if that sentinel ever WINS an extraction the whole tile redoes
+            # the exact full-width sweeps (rare: P(group >= 5 of top-16 |
+            # 256-col groups) ~ 1e-6 per row; adversarially tested).
+            #
+            # Fold formulation (round 4): a STREAMING INSERTION fold — each
+            # slab is read once and min/max-chained through R=3 sorted
+            # registers; the displaced maximum feeds an overflow register
+            # whose final value is the EXACT 4th-smallest of the group
+            # (min over everything that ever fell off the top-3). Depth is
+            # therefore 4, identical to the earlier R=4 pop-fold, at
+            # (2R+1)*S = 84 register passes instead of R*(3S-2) = 136 and —
+            # the bigger cut — ONE read of the (TM, N) key array instead of
+            # one read plus R-1 full invalidation rewrites.
+            R = 3
             RESCAN = jnp.int32(0x7E000000)
-            work = [key[:, i * G:(i + 1) * G] for i in range(S)]
-            cand = []
-            for r in range(R):
-                m = work[0]
-                for w in work[1:]:
-                    m = jnp.minimum(m, w)
-                cand.append(m)                                # (TM, G)
-                if r < R - 1:
-                    # Keys are unique (index in the low bits), so the
-                    # invalidation hits exactly the popped element.
-                    work = [jnp.where(w == m, sentinel, w) for w in work]
-            g = cand
-            trip = jnp.zeros((), jnp.bool_)
+            pad = jnp.full((tm, G), sentinel, jnp.int32)
+            g = [pad, pad, pad]
+            ov = pad                                          # overflow
+            for i in range(S):
+                w = key[:, i * G:(i + 1) * G]
+                for r in range(R):
+                    lo = jnp.minimum(g[r], w)
+                    w = jnp.maximum(g[r], w)
+                    g[r] = lo
+                ov = jnp.minimum(ov, w)
+            # Groups with <= R real elements never displace one, so ov
+            # stays `sentinel` there — read as "fully stored" (complete
+            # information), exactly like the old prep padding.
+            g = g + [ov]
+            tripv = jnp.zeros((tm, G), jnp.bool_)
             for j in range(k):
                 kmin = jnp.min(g[0], axis=1, keepdims=True)   # (TM, 1)
                 idx_ref[0, j, :] = (kmin & lomask)[:, 0]
                 put_dist(j, kmin)
                 sel = g[0] == kmin
                 if j < k - 1:
-                    trip = trip | jnp.any(sel & (g[1] == RESCAN))
-                for i in range(R - 1):
+                    # Vector-accumulate the dry-group condition; ONE scalar
+                    # reduction at the end (was a full any() per slot).
+                    tripv = tripv | (sel & (g[1] == RESCAN))
+                for i in range(R):
                     g[i] = jnp.where(sel, g[i + 1], g[i])
-                g[R - 1] = jnp.where(sel, RESCAN, g[R - 1])
+                g[R] = jnp.where(sel, RESCAN, g[R])
 
-            @pl.when(trip)
+            @pl.when(jnp.any(tripv))
             def _():
                 extract_sweeps(key)
         else:
