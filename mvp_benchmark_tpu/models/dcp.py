@@ -241,11 +241,11 @@ def svd_head(src_embedding, tgt_embedding, src, tgt):
 
     q4 = src_embedding[:, None]
     k4 = tgt_embedding[:, None]
-    # D <= 128 only: at D=512 single-head the backward's (M, D) f32 dk
-    # accumulator + K/V panes overflow the 16 MiB Mosaic kernel stack even
-    # at TM=128 with bf16 operands (measured OOM x3); a flash-style
-    # m-tiled backward with saved row stats would lift this (future work).
-    if on_tpu and d_k <= 128 and _pk.fused_attention_ok(
+    # D > 128 routes to the flash-style split backward (saved row stats,
+    # dQ over q-tiles / dK,dV over k-tiles) — the monolithic backward's
+    # (M, D) f32 dk accumulator OOMed the 16 MiB Mosaic kernel stack at
+    # D=512 even at TM=128 with bf16 operands.
+    if on_tpu and d_k % 128 == 0 and _pk.fused_attention_ok(
             q4, k4, jnp.zeros(tgt.shape[:-1] + (128,))[:, None], None):
         v_pad = jnp.pad(tgt, ((0, 0), (0, 0), (0, 125)))
         # bf16 operands: the kernel rounds matmul inputs to bf16 anyway

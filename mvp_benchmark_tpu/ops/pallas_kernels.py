@@ -2115,6 +2115,77 @@ def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     ).astype(o_ref.dtype)
 
 
+def _attn_fwd_save_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, *, scale):
+    """Forward + saved softmax row stats (max, sum-of-exp) for the
+    flash-style split backward used at D > 128."""
+    q = q_ref[0].astype(jnp.bfloat16)                        # (TM, D)
+    k = k_ref[0].astype(jnp.bfloat16)                        # (M, D)
+    s = lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                                # (TM, M) f32
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=1, keepdims=True)
+    o_ref[0] = jnp.dot(
+        (e / l).astype(jnp.bfloat16), v_ref[0].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+    m_ref[0, 0] = m[:, 0]
+    l_ref[0, 0] = l[:, 0]
+
+
+def _attn_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, dl_ref,
+                        dq_ref, *, scale):
+    """dQ over q-tiles: recompute p from saved row stats; delta
+    (= rowsum(do * o)) precomputed outside. No (M, D) accumulator."""
+    q = q_ref[0].astype(jnp.bfloat16)                        # (TM, D)
+    k = k_ref[0].astype(jnp.bfloat16)                        # (M, D)
+    s = lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    p = jnp.exp(s - m_ref[0, 0][:, None]) / l_ref[0, 0][:, None]
+    do = do_ref[0].astype(jnp.bfloat16)                      # (TM, Dv)
+    dp = lax.dot_general(
+        do, v_ref[0].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                        # (TM, M)
+    ds = (p * (dp - dl_ref[0, 0][:, None])) * scale
+    dq_ref[0] = jnp.dot(
+        ds.astype(jnp.bfloat16), k, preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+
+
+def _attn_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, dl_ref,
+                         dk_ref, dv_ref, *, scale):
+    """dK/dV over k-tiles: the transposed score plane (TN, Nq) is rebuilt
+    per tile from the k-tile against the full Q pane, p comes from the
+    saved row stats, and dk/dv are written per-tile — the (M, D) f32
+    accumulator that OOMed the monolithic backward at D=512 never exists."""
+    kt = k_ref[0].astype(jnp.bfloat16)                       # (TN, D)
+    q = q_ref[0].astype(jnp.bfloat16)                        # (Nq, D)
+    sT = lax.dot_general(
+        kt, q, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                                # (TN, Nq)
+    pT = jnp.exp(sT - m_ref[0, 0][None, :]) / l_ref[0, 0][None, :]
+    do = do_ref[0].astype(jnp.bfloat16)                      # (Nq, Dv)
+    dv_ref[0] = jnp.dot(
+        pT.astype(jnp.bfloat16), do, preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    dpT = lax.dot_general(
+        v_ref[0].astype(jnp.bfloat16), do,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                        # (TN, Nq)
+    dsT = (pT * (dpT - dl_ref[0, 0][None, :])) * scale
+    dk_ref[0] = jnp.dot(
+        dsT.astype(jnp.bfloat16), q, preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
+
+
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
                      *, scale):
     t = pl.program_id(1)
@@ -2208,11 +2279,37 @@ def _attn_specs(BH, Nq, M, D, Dv, tm):
     ]
 
 
-def _attn_forward(q, k, v, scale):
+def _attn_forward(q, k, v, scale, save_stats=False):
     BH, Nq, D = q.shape
     M = k.shape[1]
     Dv = v.shape[-1]
     tm = _attn_tm(Nq, D)
+    cost = pl.CostEstimate(
+        flops=2 * BH * Nq * M * (D + Dv),
+        bytes_accessed=BH * (Nq * (D + Dv) * 4 + M * (D + Dv) * 4),
+        transcendentals=BH * Nq * M,
+    )
+    if save_stats:
+        return pl.pallas_call(
+            functools.partial(_attn_fwd_save_kernel, scale=float(scale)),
+            grid=(BH, Nq // tm),
+            in_specs=_attn_specs(BH, Nq, M, D, Dv, tm),
+            out_specs=[
+                pl.BlockSpec((1, tm, Dv), lambda bh, t: (bh, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tm), lambda bh, t: (bh, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tm), lambda bh, t: (bh, 0, t),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((BH, Nq, Dv), q.dtype),
+                jax.ShapeDtypeStruct((BH, 1, Nq), jnp.float32),
+                jax.ShapeDtypeStruct((BH, 1, Nq), jnp.float32),
+            ],
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(q, k, v)
     return pl.pallas_call(
         functools.partial(_attn_fwd_kernel, scale=float(scale)),
         grid=(BH, Nq // tm),
@@ -2220,20 +2317,90 @@ def _attn_forward(q, k, v, scale):
         out_specs=pl.BlockSpec((1, tm, Dv), lambda bh, t: (bh, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BH, Nq, Dv), q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * BH * Nq * M * (D + Dv),
-            bytes_accessed=BH * (Nq * (D + Dv) * 4 + M * (D + Dv) * 4),
-            transcendentals=BH * Nq * M,
-        ),
+        cost_estimate=cost,
         interpret=_interpret(),
     )(q, k, v)
 
 
 def _attn_fwd(q, k, v, scale):
+    if q.shape[-1] > 128:
+        # Wide-D (svd_head, D=512): the monolithic backward's (M, D) f32
+        # accumulator OOMs the kernel stack — use the flash-style split
+        # backward, which needs the softmax row stats.
+        o, m, l = _attn_forward(q, k, v, scale, save_stats=True)
+        return o, (q, k, v, o, m, l)
     return _attn_forward(q, k, v, scale), (q, k, v)
 
 
+def _attn_bwd_split(scale, q, k, v, o, mrow, lrow, d_out):
+    """Flash-style backward: dQ over q-tiles, dK/dV over k-tiles, softmax
+    rebuilt from saved row stats, delta = rowsum(do * o) precomputed."""
+    BH, Nq, D = q.shape
+    M = k.shape[1]
+    Dv = v.shape[-1]
+    tm = tn = 128
+    delta = jnp.sum(
+        d_out.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )[:, None, :]                                            # (BH, 1, Nq)
+    row_spec = pl.BlockSpec((1, 1, tm), lambda bh, t: (bh, 0, t),
+                            memory_space=pltpu.VMEM)
+    full_row_spec = pl.BlockSpec((1, 1, Nq), lambda bh, t: (bh, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_attn_bwd_dq_kernel, scale=float(scale)),
+        grid=(BH, Nq // tm),
+        in_specs=_attn_specs(BH, Nq, M, D, Dv, tm) + [
+            pl.BlockSpec((1, tm, Dv), lambda bh, t: (bh, t, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec, row_spec, row_spec,
+        ],
+        out_specs=pl.BlockSpec((1, tm, D), lambda bh, t: (bh, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, Nq, D), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * BH * Nq * M * (2 * D + Dv),
+            bytes_accessed=BH * (2 * Nq * D * 4 + M * (D + Dv) * 4),
+            transcendentals=BH * Nq * M,
+        ),
+        interpret=_interpret(),
+    )(q, k, v, d_out, mrow, lrow, delta)
+    dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_dkv_kernel, scale=float(scale)),
+        grid=(BH, M // tn),
+        in_specs=[
+            pl.BlockSpec((1, Nq, D), lambda bh, t: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, D), lambda bh, t: (bh, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, Dv), lambda bh, t: (bh, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nq, Dv), lambda bh, t: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full_row_spec, full_row_spec, full_row_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tn, D), lambda bh, t: (bh, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, Dv), lambda bh, t: (bh, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, M, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH, M, Dv), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * BH * Nq * M * (2 * D + 2 * Dv),
+            bytes_accessed=BH * (Nq * (D + Dv) * 4 + 2 * M * D * 4),
+            transcendentals=BH * Nq * M,
+        ),
+        interpret=_interpret(),
+    )(q, k, v, d_out, mrow, lrow, delta)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
 def _attn_bwd(scale, res, d_out):
+    if len(res) == 6:
+        return _attn_bwd_split(scale, *res, d_out)
     q, k, v = res
     BH, Nq, D = q.shape
     M = k.shape[1]

@@ -872,3 +872,39 @@ def test_fused_attention_value_width(rng):
         a, b = np.asarray(a), np.asarray(b)
         scale_ = max(np.abs(b).max(), 1.0)
         assert (np.abs(a - b) / scale_ < 2e-2).mean() > 0.999
+
+
+def test_fused_attention_wide_d_split_backward(rng):
+    """D > 128 routes to the flash-style split backward (saved row stats,
+    dQ over q-tiles / dK,dV over k-tiles). Values + all three gradients vs
+    the dense formulation at a wide single-head shape (the svd_head
+    correspondence: v = lane-padded points, D wide)."""
+    B, N, M, D, Dv = 2, 256, 128, 256, 128
+    q = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, M, D)).astype(np.float32))
+    v = jnp.asarray(
+        np.pad(rng.standard_normal((B, M, 3)).astype(np.float32),
+               ((0, 0), (0, 0), (0, Dv - 3))))
+    scale = 1.0 / np.sqrt(D)
+
+    def dense(q, k, v):
+        s = jax.nn.softmax(
+            jnp.einsum("bnd,bmd->bnm", q, k,
+                       preferred_element_type=jnp.float32) * scale, axis=2)
+        return jnp.einsum("bnm,bmc->bnc", s, v,
+                          preferred_element_type=jnp.float32)
+
+    out = pallas_kernels.fused_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense(q, k, v)),
+                               rtol=2e-2, atol=2e-2)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(fn(q, k, v)[..., :3] ** 2)
+
+    gf = jax.grad(loss(lambda q, k, v: pallas_kernels.fused_attention(
+        q, k, v, scale)), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss(dense), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        scale_ = max(np.abs(b).max(), 1.0)
+        assert (np.abs(a - b) / scale_ < 2e-2).mean() > 0.999
