@@ -122,7 +122,29 @@ def step_flops(step, ctx, batch, alpha):
         return 0.0, 0.0, 0.0
 
 
-def run(batch_size):
+def mxu_probe(peak):
+    """Measured bf16 matmul rate (TFLOP/s) on the bench chip RIGHT NOW.
+
+    The tunnel chip is intermittently shared with other tenants (observed:
+    a pure matmul at 20 then 3.6 TFLOP/s vs the 197 peak, inflating step
+    times ~2-50x). The artifact must not present a contended-window number
+    as the framework's throughput without saying so."""
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        return None  # CPU smoke run: the probe itself would dominate
+    n = 4096
+    a = jnp.ones((n, n), jnp.bfloat16)
+    f = jax.jit(lambda x: (x @ a).astype(jnp.bfloat16))
+    r = f(a)
+    float(r[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        r = f(r)
+    float(r[0, 0])  # true sync through the tunnel
+    dt = (time.perf_counter() - t0) / 10
+    return 2 * n**3 / dt / 1e12
+
+
+def run(batch_size, windows=1):
     step, ctx, batch = build(batch_size)
     alpha = jnp.asarray(0.5)
     flops, syn, useful = step_flops(step, ctx, batch, alpha)
@@ -134,19 +156,23 @@ def run(batch_size):
         params, bs, opt, aux = step(params, bs, opt, dict(batch), alpha, r)
         float(aux["total_loss"])  # force full per-step sync
 
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        rng, r = jax.random.split(rng)
-        params, bs, opt, aux = step(params, bs, opt, dict(batch), alpha, r)
-    # One full host sync at the end: step i+1 consumes step i's params, so
-    # the final loss transitively forces every step. (block_until_ready is
-    # not a true sync through the remote tunnel, but a scalar device->host
-    # pull is; a per-step pull would add a tunnel round-trip per step —
-    # ~100 ms of pure latency on fast models.)
-    float(aux["total_loss"])
-    dt = time.perf_counter() - t0
-    steps_per_sec = STEPS / dt
-    return steps_per_sec, flops, syn, useful
+    best = 0.0
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            rng, r = jax.random.split(rng)
+            params, bs, opt, aux = step(params, bs, opt, dict(batch),
+                                        alpha, r)
+        # One full host sync at the end: step i+1 consumes step i's params,
+        # so the final loss transitively forces every step.
+        # (block_until_ready is not a true sync through the remote tunnel,
+        # but a scalar device->host pull is; a per-step pull would add a
+        # tunnel round-trip per step — ~100 ms of pure latency on fast
+        # models.)
+        float(aux["total_loss"])
+        dt = time.perf_counter() - t0
+        best = max(best, STEPS / dt)
+    return best, flops, syn, useful
 
 
 def per_model_table():
@@ -177,10 +203,16 @@ def per_model_table():
 def main():
     n_chips = max(jax.device_count(), 1)
     kind, chip, peak, hbm = chip_info()
+    probe = mxu_probe(peak)
+    contended = probe is not None and probe < 0.5 * peak / 1e12
     err = None
     for batch_size in (32, 16, 8):
         try:
-            sps, flops, syn, useful = run(batch_size)
+            # Under detected contention, take the best of 3 measurement
+            # windows (the least-contaminated one) and flag the artifact.
+            sps, flops, syn, useful = run(
+                batch_size, windows=3 if contended else 1
+            )
             pps = sps * batch_size * NUM_POINTS / n_chips
             # MFU over the bench chip's bf16 peak (the precision every
             # matmul actually runs at; XLA DEFAULT rounds inputs to bf16).
@@ -203,6 +235,17 @@ def main():
                 "ms_per_step": round(1e3 / sps, 1),
                 "models_ms_per_step": models_ms,
             }
+            if probe is not None:
+                out["mxu_probe_tflops"] = round(probe, 1)
+                if contended:
+                    out["chip_contended"] = True
+                    out["contention_note"] = (
+                        "pure-matmul probe ran at "
+                        f"{probe:.0f}/{peak / 1e12:.0f} TFLOP/s — the "
+                        "tunnel chip is shared this window; ms_per_step "
+                        "is inflated accordingly (best of 3 windows "
+                        "reported)"
+                    )
             if chip != "v5p":
                 # The north-star target is defined on v5p hardware. Project
                 # by the smaller of the peak-compute and HBM-bandwidth
