@@ -116,13 +116,17 @@ class MultiHeadedAttention(nn.Module):
         def proj(x, name):
             y = layers.TorchDense(self.d_model, use_bias=True,
                                   dtype=self.dtype)(x)
-            return y.reshape(B, -1, self.h, d_k).transpose(0, 2, 1, 3)
+            # Projection-native (B, N, h, d_k): the head transpose never
+            # materializes — mha_attention_bnhd rides the head axis on the
+            # fused kernel's grid (transposing at a pallas_call boundary
+            # costs a full activation copy each way, fwd and bwd).
+            return y.reshape(B, -1, self.h, d_k)
 
         q = proj(query, "q")
         k = proj(key, "k")
         v = proj(value, "v")
-        x = layers.mha_attention(q, k, v, mask=mask)
-        x = x.transpose(0, 2, 1, 3).reshape(B, -1, self.h * d_k)
+        x = layers.mha_attention_bnhd(q, k, v, mask=mask)
+        x = x.reshape(B, -1, self.h * d_k)
         return layers.TorchDense(self.d_model, dtype=self.dtype)(x)
 
 

@@ -364,6 +364,36 @@ def mha_attention(query, key, value, mask=None):
     return out
 
 
+def mha_attention_bnhd(query, key, value, mask=None):
+    """mha_attention over the projection-native (B, N, H, dk) layout.
+
+    When the fused kernel applies, the head axis rides the kernel grid —
+    the (B, N, H, dk) -> (B, H, N, dk) transposes that mha_attention's
+    layout forces callers to materialize at the pallas_call boundary (two
+    copies of the full activation per call, forward and backward) never
+    happen. Falls back to transpose + mha_attention elsewhere.
+    """
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        on_tpu = False
+    if on_tpu and mask is None:
+        from mvp_benchmark_tpu.ops import pallas_kernels
+
+        qt = jnp.swapaxes(query, 1, 2)  # shape probe only; not materialized
+        if pallas_kernels.fused_attention_ok(
+                qt, jnp.swapaxes(key, 1, 2), jnp.swapaxes(value, 1, 2),
+                mask):
+            return pallas_kernels.fused_attention_bnhd(
+                query, key, value, 1.0 / math.sqrt(query.shape[-1])
+            )
+    out = mha_attention(
+        jnp.swapaxes(query, 1, 2), jnp.swapaxes(key, 1, 2),
+        jnp.swapaxes(value, 1, 2), mask,
+    )
+    return jnp.swapaxes(out, 1, 2)
+
+
 class UnbiasedLayerNorm(nn.Module):
     """LayerNorm with torch-std semantics: (x - mean) / (std_unbiased + eps).
 

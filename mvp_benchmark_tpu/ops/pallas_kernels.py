@@ -2099,9 +2099,10 @@ emd_auction.defvjp(_emd_pallas_fwd, _emd_pallas_bwd)
 _ATTN_TM = 256
 
 
-def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
-    q = q_ref[0].astype(jnp.bfloat16)                        # (TM, D)
-    k = k_ref[0].astype(jnp.bfloat16)                        # (M, D)
+def _attn_math_fwd(q, k, v, scale, out_dtype):
+    """Single-pass exact-softmax attention on VMEM-resident panes."""
+    q = q.astype(jnp.bfloat16)                               # (TM, D)
+    k = k.astype(jnp.bfloat16)                               # (M, D)
     s = lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -2109,10 +2110,46 @@ def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
     p = e / jnp.sum(e, axis=1, keepdims=True)
-    o_ref[0] = jnp.dot(
-        p.astype(jnp.bfloat16), v_ref[0].astype(jnp.bfloat16),
+    return jnp.dot(
+        p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    ).astype(out_dtype)
+
+
+def _attn_math_bwd(q, k, v, do, scale):
+    """Backward math on one q-tile: returns (dq, dk_tile, dv_tile)."""
+    q = q.astype(jnp.bfloat16)
+    k = k.astype(jnp.bfloat16)
+    v = v.astype(jnp.bfloat16)
+    do = do.astype(jnp.float32)                              # (TM, D)
+
+    s = lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=1, keepdims=True)                # (TM, M) f32
+
+    p16 = p.astype(jnp.bfloat16)
+    do16 = do.astype(jnp.bfloat16)
+    contractT = (((0,), (0,)), ((), ()))
+    dv_tile = lax.dot_general(p16, do16, dimension_numbers=contractT,
+                              preferred_element_type=jnp.float32)  # (M, Dv)
+    dp = lax.dot_general(do16, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                         preferred_element_type=jnp.float32)       # (TM, M)
+    delta = jnp.sum(p * dp, axis=1, keepdims=True)           # (TM, 1)
+    ds = (p * (dp - delta)) * scale                          # (TM, M) f32
+    ds16 = ds.astype(jnp.bfloat16)
+    dq = jnp.dot(ds16, k, preferred_element_type=jnp.float32)
+    dk_tile = lax.dot_general(ds16, q, dimension_numbers=contractT,
+                              preferred_element_type=jnp.float32)  # (M, D)
+    return dq, dk_tile, dv_tile
+
+
+def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    o_ref[0] = _attn_math_fwd(q_ref[0], k_ref[0], v_ref[0], scale,
+                              o_ref.dtype)
 
 
 def _attn_fwd_save_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, *, scale):
@@ -2189,33 +2226,30 @@ def _attn_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, dl_ref,
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
                      *, scale):
     t = pl.program_id(1)
-    q = q_ref[0].astype(jnp.bfloat16)
-    k = k_ref[0].astype(jnp.bfloat16)
-    v = v_ref[0].astype(jnp.bfloat16)
-    do = do_ref[0].astype(jnp.float32)                       # (TM, D)
+    dq, dk_tile, dv_tile = _attn_math_bwd(
+        q_ref[0], k_ref[0], v_ref[0], do_ref[0], scale
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
 
-    s = lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    m = jnp.max(s, axis=1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=1, keepdims=True)                # (TM, M) f32
+    @pl.when(t == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    p16 = p.astype(jnp.bfloat16)
-    do16 = do.astype(jnp.bfloat16)
-    contractT = (((0,), (0,)), ((), ()))
-    dv_tile = lax.dot_general(p16, do16, dimension_numbers=contractT,
-                              preferred_element_type=jnp.float32)  # (M, D)
-    dp = lax.dot_general(do16, v, dimension_numbers=(((1,), (1,)), ((), ())),
-                         preferred_element_type=jnp.float32)       # (TM, M)
-    delta = jnp.sum(p * dp, axis=1, keepdims=True)           # (TM, 1)
-    ds = (p * (dp - delta)) * scale                          # (TM, M) f32
-    ds16 = ds.astype(jnp.bfloat16)
-    dq_ref[0] = jnp.dot(ds16, k, preferred_element_type=jnp.float32
-                        ).astype(dq_ref.dtype)
-    dk_tile = lax.dot_general(ds16, q, dimension_numbers=contractT,
-                              preferred_element_type=jnp.float32)  # (M, D)
+    dk_ref[0] += dk_tile
+    dv_ref[0] += dv_tile
+
+
+def _attn_bwd_kernel_bnhd(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
+                          dv_ref, *, scale):
+    """Same blocks as _attn_bwd_kernel (the head axis picks a dk-wide LANE
+    chunk of the (B, N, H*dk) view, so refs are 3-D); only the q-tile index
+    moves to grid axis 2."""
+    t = pl.program_id(2)
+    dq, dk_tile, dv_tile = _attn_math_bwd(
+        q_ref[0], k_ref[0], v_ref[0], do_ref[0], scale
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
 
     @pl.when(t == 0)
     def _():
@@ -2437,6 +2471,101 @@ def _attn_bwd(scale, res, d_out):
 
 
 fused_attention.defvjp(_attn_fwd, _attn_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_attention_bnhd(q, k, v, scale: float):
+    """fused_attention over the PROJECTION-NATIVE layout: q (B, Nq, H, dk),
+    k/v (B, M, H, dk) -> (B, Nq, H, dk).
+
+    The (BH, N, dk) entry forces callers to materialize the
+    (B, N, H, dk) -> (B, H, N, dk) transpose at the pallas_call boundary
+    (XLA cannot fuse a copy into a custom kernel's operand); this variant
+    views the array as (B, N, H*dk) — the SAME memory — and picks each
+    head's dk-wide lane chunk via the last-dim block index, with the head
+    on the grid: 2 fewer materialized (B, N, H*dk) copies per call forward
+    and 2 backward. (A 4-D (1, tm, 1, dk) block is NOT Mosaic-legal: the
+    sublane dim must be divisible by 8 or span the array.)
+    """
+    return _attn_forward_bnhd(q, k, v, scale)
+
+
+def _attn_bnhd_specs(Nq, M, dk, tm):
+    return [
+        pl.BlockSpec((1, tm, dk), lambda b, h, t: (b, t, h),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, M, dk), lambda b, h, t: (b, 0, h),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, M, dk), lambda b, h, t: (b, 0, h),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _attn_forward_bnhd(q, k, v, scale):
+    B, Nq, H, dk = q.shape
+    M = k.shape[1]
+    tm = _attn_tm(Nq, dk)
+    out = pl.pallas_call(
+        functools.partial(_attn_fwd_kernel, scale=float(scale)),
+        grid=(B, H, Nq // tm),
+        in_specs=_attn_bnhd_specs(Nq, M, dk, tm),
+        out_specs=pl.BlockSpec((1, tm, dk), lambda b, h, t: (b, t, h),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Nq, H * dk), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Nq * M * dk,
+            bytes_accessed=B * H * (Nq + M) * dk * 8,
+            transcendentals=B * H * Nq * M,
+        ),
+        interpret=_interpret(),
+    )(q.reshape(B, Nq, H * dk), k.reshape(B, M, H * dk),
+      v.reshape(B, M, H * dk))
+    return out.reshape(B, Nq, H, dk)
+
+
+def _attn_bnhd_fwd(q, k, v, scale):
+    return _attn_forward_bnhd(q, k, v, scale), (q, k, v)
+
+
+def _attn_bnhd_bwd(scale, res, d_out):
+    q, k, v = res
+    B, Nq, H, dk = q.shape
+    M = k.shape[1]
+    tm = _attn_tm(Nq, dk)
+    dq, dk_, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel_bnhd, scale=float(scale)),
+        grid=(B, H, Nq // tm),
+        in_specs=_attn_bnhd_specs(Nq, M, dk, tm) + [
+            pl.BlockSpec((1, tm, dk), lambda b, h, t: (b, t, h),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tm, dk), lambda b, h, t: (b, t, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, dk), lambda b, h, t: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, dk), lambda b, h, t: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Nq, H * dk), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, H * dk), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, H * dk), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * H * Nq * M * dk,
+            bytes_accessed=B * H * (2 * Nq + 3 * M) * dk * 8,
+            transcendentals=B * H * Nq * M,
+        ),
+        interpret=_interpret(),
+    )(q.reshape(B, Nq, H * dk), k.reshape(B, M, H * dk),
+      v.reshape(B, M, H * dk), d_out.reshape(B, Nq, H * dk))
+    return (dq.reshape(B, Nq, H, dk).astype(q.dtype),
+            dk_.reshape(B, M, H, dk).astype(k.dtype),
+            dv.reshape(B, M, H, dk).astype(v.dtype))
+
+
+fused_attention_bnhd.defvjp(_attn_bnhd_fwd, _attn_bnhd_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -908,3 +908,31 @@ def test_fused_attention_wide_d_split_backward(rng):
         a, b = np.asarray(a), np.asarray(b)
         scale_ = max(np.abs(b).max(), 1.0)
         assert (np.abs(a - b) / scale_ < 2e-2).mean() > 0.999
+
+
+def test_fused_attention_bnhd_matches_bhnd(rng):
+    """The projection-native (B, N, H, dk) entry must match the (BH, N, dk)
+    kernel bit-for-bit (same math, head axis on the grid) — values and all
+    gradients."""
+    B, N, M, H, dk = 2, 256, 128, 3, 128
+    q = jnp.asarray(rng.standard_normal((B, N, H, dk)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, M, H, dk)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, M, H, dk)).astype(np.float32))
+    scale = 1.0 / np.sqrt(dk)
+
+    def via_bhnd(q, k, v):
+        t = lambda x: jnp.swapaxes(x, 1, 2).reshape(B * H, -1, dk)
+        out = pallas_kernels.fused_attention(t(q), t(k), t(v), scale)
+        return jnp.swapaxes(out.reshape(B, H, N, dk), 1, 2)
+
+    out = pallas_kernels.fused_attention_bnhd(q, k, v, scale)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(via_bhnd(q, k, v)))
+
+    loss = lambda fn: (lambda q, k, v: jnp.sum(fn(q, k, v) ** 2))
+    ga = jax.grad(loss(lambda q, k, v: pallas_kernels.fused_attention_bnhd(
+        q, k, v, scale)), argnums=(0, 1, 2))(q, k, v)
+    gb = jax.grad(loss(via_bhnd), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

@@ -47,31 +47,34 @@ def mxu_tflops():
 
 
 def hbm_gbps():
-    n = 256 * 1024 * 1024 // 4  # 256 MiB per stream
-    x = jnp.ones((n,), jnp.float32)
+    # 2-D tile (1-D layouts measured 5x under; lane-major 2-D streams
+    # saturate). read + write: 2 streams.
+    x = jnp.ones((8192, 8192), jnp.float32)  # 256 MiB
 
     @jax.jit
     def f(x):
-        return x + 1.0  # read + write: 2 streams
+        return x + 1.0
 
     dt = _chain(f, x)
-    return 2 * n * 4 / dt / 1e9, dt
+    return 2 * x.size * 4 / dt / 1e9, dt
 
 
 def vpu_eops():
-    # VMEM-resident (512, 2048) f32 tile, 64 dependent multiply-adds per
-    # iteration: ~no HBM traffic, pure VPU issue rate.
+    # VMEM-resident (512, 2048) f32 tile, 64 dependent abs-multiply-adds
+    # per iteration. abs() breaks the affine chain — a plain y*c+d chain is
+    # algebraically collapsed to ONE fma by XLA (measured: 64 "iterations"
+    # ran at the single-pass rate).
     x = jnp.full((512, 2048), 1.0000001, jnp.float32)
 
     @jax.jit
     def f(x):
         y = x
         for _ in range(64):
-            y = y * 1.0000001 + 1e-9
+            y = jnp.abs(y) * 1.0000001 + 1e-9
         return y
 
     dt = _chain(f, x)
-    return 2 * 64 * x.size / dt / 1e12, dt
+    return 3 * 64 * x.size / dt / 1e12, dt
 
 
 def main():
