@@ -60,21 +60,26 @@ def hbm_gbps():
 
 
 def vpu_eops():
-    # VMEM-resident (512, 2048) f32 tile, 64 dependent abs-multiply-adds
-    # per iteration. abs() breaks the affine chain — a plain y*c+d chain is
-    # algebraically collapsed to ONE fma by XLA (measured: 64 "iterations"
-    # ran at the single-pass rate).
+    # Pallas kernel: (512, 2048) f32 tile resident in VMEM, 512 dependent
+    # abs-multiply-add passes in-kernel. abs() breaks the affine chain
+    # (XLA collapses y*c+d chains to one fma); an XLA-level chain also
+    # round-trips HBM per op (measured at HBM rate, not VPU rate) — only a
+    # kernel keeps the chain register/VMEM-resident.
+    from jax.experimental import pallas as pl
+
+    R = 512
     x = jnp.full((512, 2048), 1.0000001, jnp.float32)
 
-    @jax.jit
-    def f(x):
-        y = x
-        for _ in range(64):
+    def kern(x_ref, o_ref):
+        y = x_ref[...]
+        for _ in range(R):
             y = jnp.abs(y) * 1.0000001 + 1e-9
-        return y
+        o_ref[...] = y
 
+    f = jax.jit(lambda x: pl.pallas_call(
+        kern, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))(x))
     dt = _chain(f, x)
-    return 3 * 64 * x.size / dt / 1e12, dt
+    return 3 * R * x.size / dt / 1e12, dt
 
 
 def main():
