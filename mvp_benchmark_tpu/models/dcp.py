@@ -113,18 +113,29 @@ class MultiHeadedAttention(nn.Module):
         B = query.shape[0]
         d_k = self.d_model // self.h
 
-        def proj(x, name):
-            y = layers.TorchDense(self.d_model, use_bias=True,
-                                  dtype=self.dtype)(x)
-            # Projection-native (B, N, h, d_k): the head transpose never
-            # materializes — mha_attention_bnhd rides the head axis on the
-            # fused kernel's grid (transposing at a pallas_call boundary
-            # costs a full activation copy each way, fwd and bwd).
+        # Projection-native (B, N, h, d_k): the head transpose never
+        # materializes — mha_attention_bnhd rides the head axis on the
+        # fused kernel's grid (transposing at a pallas_call boundary costs
+        # a full activation copy each way, fwd and bwd). Projections with
+        # a SHARED input (self-attention q=k=v; cross-attention k=v) run
+        # as one concatenated GEMM (layers.MultiDense).
+        d = self.d_model
+
+        def heads(y):
             return y.reshape(B, -1, self.h, d_k)
 
-        q = proj(query, "q")
-        k = proj(key, "k")
-        v = proj(value, "v")
+        if query is key and key is value:
+            y = layers.MultiDense((d, d, d), dtype=self.dtype)(query)
+            q, k, v = (heads(y[..., :d]), heads(y[..., d:2 * d]),
+                       heads(y[..., 2 * d:]))
+        elif key is value:
+            q = heads(layers.TorchDense(d, dtype=self.dtype)(query))
+            y = layers.MultiDense((d, d), dtype=self.dtype)(key)
+            k, v = heads(y[..., :d]), heads(y[..., d:])
+        else:
+            q = heads(layers.TorchDense(d, dtype=self.dtype)(query))
+            k = heads(layers.TorchDense(d, dtype=self.dtype)(key))
+            v = heads(layers.TorchDense(d, dtype=self.dtype)(value))
         x = layers.mha_attention_bnhd(q, k, v, mask=mask)
         x = x.reshape(B, -1, self.h * d_k)
         return layers.TorchDense(self.d_model, dtype=self.dtype)(x)

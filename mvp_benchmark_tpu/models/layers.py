@@ -107,6 +107,58 @@ class TorchDense(nn.Module):
         return y.astype(dt)
 
 
+class MultiDense(nn.Module):
+    """Several torch-init Dense heads applied to ONE input as a single
+    concatenated GEMM; returns the concatenated (…, sum(features)) output
+    for the caller to slice.
+
+    Equivalent to separate TorchDense calls up to reduction-order rounding
+    (XLA may tile the shared reduction differently per output width; bias
+    init/add matches TorchDense exactly) while paying ONE pass over the
+    input and one MXU output-lane allocation instead of N: a
+    (rows, C) @ (C, 4) projection uses 4 of 128 output lanes — VRCNet's
+    SA modules run three such heads per module and DCP's attention four
+    per block.
+    """
+
+    features: Sequence[int]
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        dt = self.dtype or compute_dtype()
+        C = x.shape[-1]
+        kernel = jnp.concatenate(
+            [
+                self.param(f"kernel{i}", torch_linear_init, (C, f))
+                for i, f in enumerate(self.features)
+            ],
+            axis=1,
+        )
+        lead = x.shape[:-1]
+        y = jnp.dot(
+            x.reshape(-1, C).astype(dt), kernel.astype(dt),
+            preferred_element_type=jnp.float32,
+        ).reshape(lead + (sum(self.features),))
+        if self.use_bias:
+            bound = 1.0 / math.sqrt(C)
+            bias = jnp.concatenate(
+                [
+                    self.param(
+                        f"bias{i}",
+                        lambda k, s: jax.random.uniform(
+                            k, s, jnp.float32, -bound, bound
+                        ),
+                        (f,),
+                    )
+                    for i, f in enumerate(self.features)
+                ]
+            )
+            y = y.astype(dt) + bias.astype(dt)
+        return y.astype(dt)
+
+
 class DenseCat(nn.Module):
     """Dense over a virtual concat: ``cat(xs, -1) @ W == sum_i xs[i] @ W_i``.
 

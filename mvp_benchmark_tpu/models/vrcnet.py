@@ -61,19 +61,17 @@ class SAModule(nn.Module):
         ms = mid // share
         identity = x
         h = nn.relu(x)
-        x1 = layers.TorchDense(rel)(h)                     # (B, N, rel)
         # 1x1 convs commute with the neighbour gather: project to the small
         # rel/mid widths FIRST, then gather ONE concatenated (rel+mid)-dim
         # tensor — identical math/params to Dense(grouping(h)) with
         # (rel+mid)/C of the gather/scatter HBM traffic and a single gather's
-        # row overhead (the gathers dominate the profile otherwise).
-        proj = jnp.concatenate(
-            [
-                layers.TorchDense(rel)(h),
-                layers.TorchDense(mid)(h),
-            ],
-            axis=-1,
-        )
+        # row overhead (the gathers dominate the profile otherwise). The
+        # three heads (x1-rel, proj-rel, proj-mid) run as ONE concatenated
+        # GEMM (layers.MultiDense): separate (rows, C) @ (C, 4|16) passes
+        # use 4-16 of 128 MXU output lanes each.
+        y = layers.MultiDense((rel, rel, mid))(h)          # (B, N, 2rel+mid)
+        x1 = y[..., :rel]                                  # (B, N, rel)
+        proj = y[..., rel:]                                # (B, N, rel+mid)
         # w-MLP parameters (reference vrcnet.py:36-41: Dense(ms, no bias),
         # Dense(k*ms)) owned directly so the fused TPU kernel and the XLA
         # fallback share them.

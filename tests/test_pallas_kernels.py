@@ -936,3 +936,27 @@ def test_fused_attention_bnhd_matches_bhnd(rng):
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_multi_dense_matches_separate_torch_dense(rng):
+    """MultiDense must match separate TorchDense heads with the same
+    kernels/biases to reduction-order rounding (XLA may tile the reduction
+    differently for different output widths)."""
+    import flax.linen as fnn
+    from mvp_benchmark_tpu.models import layers as L
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 48)).astype(np.float32))
+    md = L.MultiDense((8, 8, 32))
+    vs = md.init(jax.random.PRNGKey(0), x)
+    y = md.apply(vs, x)
+    assert y.shape == (2, 64, 48)
+
+    # Rebuild the three separate heads from MultiDense's own params.
+    p = vs["params"]
+    for i, (lo, hi) in enumerate([(0, 8), (8, 16), (16, 48)]):
+        td = L.TorchDense(hi - lo)
+        out = td.apply(
+            {"params": {"kernel": p[f"kernel{i}"], "bias": p[f"bias{i}"]}}, x
+        )
+        np.testing.assert_allclose(np.asarray(y[..., lo:hi]),
+                                   np.asarray(out), rtol=1e-5, atol=1e-6)
