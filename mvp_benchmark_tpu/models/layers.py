@@ -86,10 +86,16 @@ class TorchDense(nn.Module):
         # Besides being the fastest layout, this sidesteps a libtpu fusion
         # crash (SpatialMajorConvolution CHECK failure) that batched 3D dots
         # can trigger when fused with concat/broadcast producers.
+        #
+        # Output directly at the storage dtype: the MXU accumulates f32 and
+        # rounds ONCE on write either way (verified bit-equal to
+        # f32-output + astype on both backends), but an f32 output buffer
+        # costs a full (rows, D) f32 write + re-read before the cast/bias
+        # pass — measured 13.4 ms/step of bias-add fusions in DCP.
         lead = x.shape[:-1]
         y = jnp.dot(
             x.reshape(-1, x.shape[-1]).astype(dt), kernel.astype(dt),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=dt,
         ).reshape(lead + (self.features,))
         if self.use_bias:
             fan_in = x.shape[-1]
@@ -139,8 +145,8 @@ class MultiDense(nn.Module):
         lead = x.shape[:-1]
         y = jnp.dot(
             x.reshape(-1, C).astype(dt), kernel.astype(dt),
-            preferred_element_type=jnp.float32,
-        ).reshape(lead + (sum(self.features),))
+            preferred_element_type=dt,  # f32 MXU accum, one rounding (see
+        ).reshape(lead + (sum(self.features),))  # TorchDense note)
         if self.use_bias:
             bound = 1.0 / math.sqrt(C)
             bias = jnp.concatenate(
