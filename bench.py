@@ -58,6 +58,23 @@ CHIPS = (
 )
 V5P_PEAK, V5P_HBM = 459e12, 2765e9
 
+# Per-component v5p projection (PERF.md "v5p projection derivation").
+# Fractions of the VRCNet step by BINDING RESOURCE, from the round's closing
+# source-exact attribution (tools/profile_step.py); update when the
+# attribution shifts. Scales: v5p/v5e peak-flops ratio for MXU-bound rows,
+# HBM-bandwidth ratio for stream-bound rows, ~1.3x (clock + issue width)
+# for VPU- and latency-bound rows. Each row scales by ITS binding resource,
+# unlike the min-ratio whole-step scaling, which is only an upper bound.
+V5E_STEP_FRACTIONS = {  # r4 close, 142.9 ms device-attributed step
+    "mxu": 0.590,   # SA one-hot f+b 44.2, chamfer bwd 12.0, GEMMs 8.6,
+                    # group_max 11.3, three_interpolate+gathers 8.2
+    "vpu": 0.230,   # kNN distance planes 23.6, chamfer fwd planes 9.3
+    "latency": 0.148,  # FPS 8.2 (serial greedy) + ~13 ms dispatch tail
+    "hbm": 0.017,   # bias adds / storage-dtype epilogues 2.5
+}
+V5P_COMPONENT_SCALE = {"mxu": 459 / 197, "vpu": 1.3, "latency": 1.3,
+                       "hbm": 2765 / 819}
+
 
 def chip_info():
     dev = jax.devices()[0]
@@ -122,13 +139,14 @@ def step_flops(step, ctx, batch, alpha):
         return 0.0, 0.0, 0.0
 
 
-def mxu_probe(peak):
+def mxu_probe():
     """Measured bf16 matmul rate (TFLOP/s) on the bench chip RIGHT NOW.
 
     The tunnel chip is intermittently shared with other tenants (observed:
     a pure matmul at 20 then 3.6 TFLOP/s vs the 197 peak, inflating step
     times ~2-50x). The artifact must not present a contended-window number
-    as the framework's throughput without saying so."""
+    as the framework's throughput without saying so. The contention policy
+    (probe >= 0.5 * peak == clean) lives in wait_for_quiet_chip."""
     if jax.devices()[0].platform not in ("tpu", "axon"):
         return None  # CPU smoke run: the probe itself would dominate
     n = 4096
@@ -142,6 +160,27 @@ def mxu_probe(peak):
     float(r[0, 0])  # true sync through the tunnel
     dt = (time.perf_counter() - t0) / 10
     return 2 * n**3 / dt / 1e12
+
+
+def wait_for_quiet_chip(peak, max_attempts=8, sleep_s=75):
+    """Probe-gated wait: re-probe until the chip is quiet or attempts run out.
+
+    Returns (probes, contended). ``probes`` records EVERY probe value so the
+    artifact shows the whole session's contention history, not one sample.
+    Clean == probe >= 50% of datasheet bf16 peak. Bounded at
+    max_attempts * sleep_s (~10 min default) so the driver's bench run
+    terminates even on a permanently shared chip."""
+    probes = []
+    for attempt in range(max_attempts):
+        p = mxu_probe()
+        if p is None:
+            return probes, False  # CPU smoke: no contention concept
+        probes.append(round(p, 1))
+        if p >= 0.5 * peak / 1e12:
+            return probes, False
+        if attempt < max_attempts - 1:
+            time.sleep(sleep_s)
+    return probes, True
 
 
 def run(batch_size, windows=1):
@@ -203,16 +242,19 @@ def per_model_table():
 def main():
     n_chips = max(jax.device_count(), 1)
     kind, chip, peak, hbm = chip_info()
-    probe = mxu_probe(peak)
-    contended = probe is not None and probe < 0.5 * peak / 1e12
+    # Probe-gated quiet window: re-probe (bounded) until the chip is quiet
+    # rather than timing under known contention. Every probe is recorded.
+    probes, contended = wait_for_quiet_chip(peak)
+    probe = probes[-1] if probes else None
     err = None
     for batch_size in (32, 16, 8):
         try:
-            # Under detected contention, take the best of 3 measurement
+            # If the chip never went quiet, take the best of 3 measurement
             # windows (the least-contaminated one) and flag the artifact.
             sps, flops, syn, useful = run(
                 batch_size, windows=3 if contended else 1
             )
+            probe_after = mxu_probe()  # detect mid-run contention onset
             pps = sps * batch_size * NUM_POINTS / n_chips
             # MFU over the bench chip's bf16 peak (the precision every
             # matmul actually runs at; XLA DEFAULT rounds inputs to bf16).
@@ -237,28 +279,45 @@ def main():
             }
             if probe is not None:
                 out["mxu_probe_tflops"] = round(probe, 1)
+                out["mxu_probes_all_tflops"] = probes
+                if probe_after is not None:
+                    out["mxu_probe_after_tflops"] = round(probe_after, 1)
+                    if (not contended
+                            and probe_after < 0.5 * peak / 1e12):
+                        out["chip_contended_midrun"] = True
+                out["chip_contended"] = bool(contended)
                 if contended:
-                    out["chip_contended"] = True
                     out["contention_note"] = (
-                        "pure-matmul probe ran at "
-                        f"{probe:.0f}/{peak / 1e12:.0f} TFLOP/s — the "
-                        "tunnel chip is shared this window; ms_per_step "
-                        "is inflated accordingly (best of 3 windows "
-                        "reported)"
+                        "pure-matmul probe stayed below 50% of the "
+                        f"{peak / 1e12:.0f} TFLOP/s peak across "
+                        f"{len(probes)} probes over ~10 min "
+                        f"(values: {probes}) — the tunnel chip was shared "
+                        "for the whole bench session; ms_per_step is "
+                        "inflated accordingly (best of 3 windows reported)"
                     )
             if chip != "v5p":
-                # The north-star target is defined on v5p hardware. Project
-                # by the smaller of the peak-compute and HBM-bandwidth
-                # ratios — valid if every component scales with its binding
-                # resource; components at neither limit (launch/VPU-bound)
-                # would scale less, so this is an upper bound on v5p
-                # throughput, reported as a PROJECTION, not a measurement.
-                scale = min(V5P_PEAK / peak, V5P_HBM / hbm)
-                out["vs_baseline_v5p"] = round(pps * scale / TARGET, 4)
+                # The north-star target is defined on v5p hardware. Primary
+                # projection: scale each component CLASS of the measured
+                # step by its binding resource's v5p/v5e ratio (fractions
+                # from the closing source-exact attribution — see
+                # V5E_STEP_FRACTIONS). The min(peak, hbm) whole-step
+                # scaling is kept only as an explicit UPPER BOUND: it
+                # assumes even latency-bound components speed up 2.33x.
+                t_scale = sum(
+                    V5E_STEP_FRACTIONS[k] / V5P_COMPONENT_SCALE[k]
+                    for k in V5E_STEP_FRACTIONS
+                )  # v5p step time as a fraction of the measured step
+                out["vs_baseline_v5p"] = round(pps / t_scale / TARGET, 4)
                 out["v5p_projection_assumption"] = (
-                    f"measured on {chip}; scaled by min(peak_flops, "
-                    f"hbm_bw) ratio = {scale:.2f}x (upper bound)"
+                    f"measured on {chip}; per-component projection — each "
+                    "attribution class scaled by its binding resource "
+                    f"(MXU x{V5P_COMPONENT_SCALE['mxu']:.2f}, HBM "
+                    f"x{V5P_COMPONENT_SCALE['hbm']:.2f}, VPU/latency "
+                    f"x1.3), fractions from PERF.md closing attribution"
                 )
+                ub_scale = min(V5P_PEAK / peak, V5P_HBM / hbm)
+                out["vs_baseline_v5p_upper_bound"] = round(
+                    pps * ub_scale / TARGET, 4)
             print(json.dumps(out))
             return
         except Exception as e:  # OOM etc. -> retry smaller batch
