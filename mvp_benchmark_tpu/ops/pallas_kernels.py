@@ -267,8 +267,8 @@ def _chamfer_bwd_dir(a, b, i1, g1, i2, g2):
 CHAMFER_BWD_PALLAS = False
 
 
-def _chamfer_grad_mxu_kernel(a_ref, t_hi_ref, t_lo_ref, i1_ref, g1_ref,
-                             i2_ref, da_ref, *, tn, exact):
+def _chamfer_grad_mxu_kernel(a_ref, b_ref, g2_ref, i1_ref, g1_ref,
+                             i2_ref, da_ref, *scratch, tn, exact):
     """One direction of the chamfer backward as TWO one-hot MXU matmuls.
 
         da[n] = 2 g1[n] (a[n] - b[i1[n]]) + 2 a[n] s0[n] - 2 t[n]
@@ -280,10 +280,32 @@ def _chamfer_grad_mxu_kernel(a_ref, t_hi_ref, t_lo_ref, i1_ref, g1_ref,
     of i1, the scatter a row-membership mask of i2. The earlier C=3 MXU
     attempt produced 3-lane matmul outputs (Mosaic-slow); here outputs are
     full 128-lane registers and only the final (3, TN) store is narrow.
+
+    The table is built IN-KERNEL into VMEM scratch once per batch element
+    (t == 0); the earlier XLA-side build materialized (B, M, 128) f32 + two
+    bf16 casts in HBM (~300 MB/step of glue traffic at train scale — the
+    source of the audit's 12-vs-7 ms chamfer-bwd discrepancy).
     ``exact``: hi+lo bf16 table split (~1e-6 of fp32); False rounds the
     table to bf16 once (~2^-9), halving MXU work."""
     t = pl.program_id(1)
-    m = t_hi_ref.shape[1]
+    m = b_ref.shape[1]
+    thi_ref = scratch[0]
+    tlo_ref = scratch[1] if exact else None
+
+    @pl.when(t == 0)
+    def _build_table():
+        colL = lax.broadcasted_iota(jnp.int32, (m, 128), 1)
+        g2 = g2_ref[0, 0, :][:, None]                        # (M, 1)
+        T = jnp.where(colL == 0, g2, 0.0)
+        for c in range(3):
+            b_c = b_ref[0, :, c][:, None]                    # (M, 1)
+            T = jnp.where(colL == 1 + c, g2 * b_c, T)
+            T = jnp.where(colL == 4 + c, b_c, T)
+        thi = T.astype(jnp.bfloat16)
+        thi_ref[...] = thi
+        if exact:
+            tlo_ref[...] = (T - thi.astype(jnp.float32)).astype(jnp.bfloat16)
+
     colM = lax.broadcasted_iota(jnp.int32, (tn, m), 1)
     rowN = lax.broadcasted_iota(jnp.int32, (tn, m), 0) + t * tn
 
@@ -293,9 +315,9 @@ def _chamfer_grad_mxu_kernel(a_ref, t_hi_ref, t_lo_ref, i1_ref, g1_ref,
     mask2 = (i2_ref[0, 0, :][None, :] == rowN).astype(jnp.bfloat16)
 
     def onehot_dot(oh):
-        acc = jnp.dot(oh, t_hi_ref[0], preferred_element_type=jnp.float32)
+        acc = jnp.dot(oh, thi_ref[...], preferred_element_type=jnp.float32)
         if exact:
-            acc += jnp.dot(oh, t_lo_ref[0],
+            acc += jnp.dot(oh, tlo_ref[...],
                            preferred_element_type=jnp.float32)
         return acc                                           # (TN, 128)
 
@@ -309,32 +331,27 @@ def _chamfer_grad_mxu_kernel(a_ref, t_hi_ref, t_lo_ref, i1_ref, g1_ref,
 
 
 def _chamfer_grad_mxu(a, b, i1, g1, i2, g2, exact=True):
-    """da for one direction (see kernel). Build the shared lane-padded
-    table XLA-side once; the kernel keeps it VMEM-resident across tiles."""
+    """da for one direction (see kernel). The lane-padded table is built
+    in-kernel (VMEM scratch, once per batch element) — no HBM table."""
     B, N, _ = a.shape
     M = b.shape[1]
     TN = _chamfer_tile(N)
-    g2f = g2.astype(jnp.float32)
-    bf = b.astype(jnp.float32)
-    T = jnp.concatenate(
-        [g2f[..., None], g2f[..., None] * bf, bf,
-         jnp.zeros((B, M, 121), jnp.float32)], axis=-1,
-    )
-    T_hi = T.astype(jnp.bfloat16)
-    T_lo = (T - T_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     passes = 2 if exact else 1
     # Synthetic one-hot contractions; useful work is the CUDA backward's
     # +-2g(p-q) adds (reference chamfer3D.cu:155-174).
     _audit_flops(2 * 2 * B * N * M * 128 * passes, B * N * 3 * 4)
+    scratch = [pltpu.VMEM((M, 128), jnp.bfloat16)]
+    if exact:
+        scratch.append(pltpu.VMEM((M, 128), jnp.bfloat16))
     da = pl.pallas_call(
         functools.partial(_chamfer_grad_mxu_kernel, tn=TN, exact=exact),
         grid=(B, N // TN),
         in_specs=[
             pl.BlockSpec((1, N, 3), lambda bi, t: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, 128), lambda bi, t: (bi, 0, 0),
+            pl.BlockSpec((1, M, 3), lambda bi, t: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, 128), lambda bi, t: (bi, 0, 0),
+            pl.BlockSpec((1, 1, M), lambda bi, t: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, N), lambda bi, t: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -346,16 +363,17 @@ def _chamfer_grad_mxu(a, b, i1, g1, i2, g2, exact=True):
         out_specs=pl.BlockSpec((1, 3, TN), lambda bi, t: (bi, 0, t),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 3, N), jnp.float32),
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * N * M * 128 * passes,
-            bytes_accessed=B * (N * 12 + M * 128 * 2 * passes + (N + M) * 8),
+            bytes_accessed=B * (N * 12 + M * 12 + (N + M) * 8),
             transcendentals=0,
         ),
         interpret=_interpret(),
     )(
         a.astype(jnp.float32),
-        T_hi,
-        T_lo,
+        b.astype(jnp.float32),
+        g2.astype(jnp.float32).reshape(B, 1, M),
         i1.reshape(B, 1, N), g1.astype(jnp.float32).reshape(B, 1, N),
         i2.reshape(B, 1, M),
     )
@@ -478,7 +496,7 @@ def furthest_point_sample(xyz: jnp.ndarray, num_samples: int) -> jnp.ndarray:
 
 
 def _knn_kernel(q_ref, p_ref, idx_ref, dist_ref, *, k, exact_dist=False,
-                g_size=256):
+                g_size=256, r_size=3):
     """Grid=(B, M/TM). One (TM, N) distance tile in VMEM; neighbours emitted
     in ascending-distance order via k packed-key min sweeps. Outputs are
     (1, k, TM) so every store is a full lane row.
@@ -592,18 +610,24 @@ def _knn_kernel(q_ref, p_ref, idx_ref, dist_ref, *, k, exact_dist=False,
             # 256-col groups) ~ 1e-6 per row; adversarially tested).
             #
             # Fold formulation (round 4): a STREAMING INSERTION fold — each
-            # slab is read once and min/max-chained through R=3 sorted
+            # slab is read once and min/max-chained through R sorted
             # registers; the displaced maximum feeds an overflow register
-            # whose final value is the EXACT 4th-smallest of the group
-            # (min over everything that ever fell off the top-3). Depth is
-            # therefore 4, identical to the earlier R=4 pop-fold, at
-            # (2R+1)*S = 84 register passes instead of R*(3S-2) = 136 and —
-            # the bigger cut — ONE read of the (TM, N) key array instead of
-            # one read plus R-1 full invalidation rewrites.
-            R = 3
+            # whose final value is the EXACT (R+1)-th-smallest of the group
+            # (min over everything that ever fell off the top-R). Depth is
+            # therefore R+1, at (2R+1)*S register passes and ONE read of
+            # the (TM, N) key array (the earlier pop-fold re-read it R-1
+            # times for invalidation rewrites).
+            #
+            # (G, R) trade-off (round 5): extraction cost scales with G
+            # (k rounds of ~(R+5) passes on (TM, G) registers), fold cost
+            # with (2R+1)*N. Narrower G needs deeper R to keep the
+            # dry-group rescan probability negligible (each group covers
+            # N/G columns; P(one group holds > R+1 of the true top-k)
+            # grows as G shrinks). tools/bench_knn.py sweeps the pairs.
+            R = r_size
             RESCAN = jnp.int32(0x7E000000)
             pad = jnp.full((tm, G), sentinel, jnp.int32)
-            g = [pad, pad, pad]
+            g = [pad] * R
             ov = pad                                          # overflow
             for i in range(S):
                 w = key[:, i * G:(i + 1) * G]
@@ -656,11 +680,13 @@ def _knn_tile(m: int) -> int:
 
 
 _KNN_G = 256  # two-level extraction slab width (micro-benched; see PERF.md)
+_KNN_R = 3    # insertion-fold register depth (depth = R+1 with overflow)
 
 
 def knn_pallas(
     query: jnp.ndarray, points: jnp.ndarray, k: int, tm: int | None = None,
     exact_dist: bool = False, g_size: int | None = None,
+    r_size: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused kNN: (B, M, C) queries in (B, N, C) points ->
     (approx_sqdist, idx), both (B, M, k), nearest first. The (B, M, N)
@@ -683,7 +709,7 @@ def knn_pallas(
 
     idx, dist = pl.pallas_call(
         functools.partial(_knn_kernel, k=k, exact_dist=exact_dist,
-                          g_size=g_size or _KNN_G),
+                          g_size=g_size or _KNN_G, r_size=r_size or _KNN_R),
         grid=(B, M // TM),
         in_specs=[
             pl.BlockSpec((1, TM, C), lambda bi, i: (bi, i, 0),

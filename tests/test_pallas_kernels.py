@@ -373,6 +373,35 @@ def test_knn_two_level_fallback_group_collision(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("g_size,r_size", [(256, 3), (128, 4), (64, 5),
+                                           (64, 6), (32, 7)])
+def test_knn_g_r_variants(rng, g_size, r_size):
+    """(G, R) extraction/fold variants (see _knn_kernel): every pair must
+    reproduce the reference neighbour sets, both on random clouds and under
+    a group-collision that exceeds the fold depth (forcing RESCAN)."""
+    N, k = 512, 16
+    q = rng.random((1, 128, 3), dtype=np.float64).astype(np.float32)
+    p = rng.random((1, N, 3), dtype=np.float64).astype(np.float32)
+    d_p, i_p = pallas_kernels.knn_pallas(
+        jnp.asarray(q), jnp.asarray(p), k, g_size=g_size, r_size=r_size)
+    _, i_r = jnp_ref.knn_points(jnp.asarray(q), jnp.asarray(p), k)
+    i_pn, i_rn = np.asarray(i_p), np.asarray(i_r)
+    for r in range(i_pn.shape[1]):
+        assert set(i_pn[0, r]) == set(i_rn[0, r]), r
+
+    # Collision: R+2 of the true top-k in ONE slab group -> fold runs dry.
+    q2 = np.full((1, 128, 3), 0.5, np.float32)
+    p2 = rng.random((1, N, 3), dtype=np.float64).astype(np.float32) * 10.0
+    for j, c in enumerate(range(0, min(N, (r_size + 2) * g_size), g_size)):
+        p2[0, c] = 0.5 + 1e-3 * (j + 1)
+    d2, i2 = pallas_kernels.knn_pallas(
+        jnp.asarray(q2), jnp.asarray(p2), k, g_size=g_size, r_size=r_size)
+    _, i2r = jnp_ref.knn_points(jnp.asarray(q2), jnp.asarray(p2), k)
+    i2n, i2rn = np.asarray(i2), np.asarray(i2r)
+    for r in range(i2n.shape[1]):
+        assert set(i2n[0, r]) == set(i2rn[0, r]), r
+
+
 def test_fused_attention_matches_dense(rng):
     """Fused attention kernel (interpret mode) vs a dense golden that
     reproduces the kernel's arithmetic (bf16 matmul inputs / f32 softmax —
@@ -837,6 +866,16 @@ def test_chamfer_grad_mxu_matches_xla(rng):
                                rtol=1e-3, atol=5e-5)
     np.testing.assert_allclose(np.asarray(db), np.asarray(want_db),
                                rtol=1e-3, atol=5e-5)
+
+    # exact=False (the bf16 activation policy's single-pass table): one
+    # bf16 rounding of the table, ~2^-9 relative on the gradient.
+    da1 = pallas_kernels._chamfer_grad_mxu(a_j, b_j, i1, g1_j, i2, g2_j,
+                                           exact=False)
+    # cancellation in (a - b[i1]) amplifies the per-term 2^-9: ~1e-2 abs
+    # worst-case at unit-cube coordinates (the bf16 convergence study in
+    # PERF.md covers the training impact).
+    np.testing.assert_allclose(np.asarray(da1), np.asarray(want_da),
+                               rtol=2e-2, atol=1.5e-2)
 
 
 def test_fused_attention_value_width(rng):

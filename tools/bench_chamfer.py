@@ -6,6 +6,7 @@ and (c) the XLA gather+scatter backward vs (d) the Pallas masked-reduce
 backward, on the attached chip. Chained-sync protocol (one scalar pull).
 """
 
+import functools
 import sys
 import time
 
@@ -82,6 +83,25 @@ def main():
           f"{timeit(jax.jit(bwd_xla), a, b, i1, g1, i2, g2):7.2f} ms", flush=True)
     print(f"bwd  pallas   : "
           f"{timeit(jax.jit(bwd_pallas), a, b, i1, g1, i2, g2):7.2f} ms", flush=True)
+
+    # MXU one-hot backward (the production path), one direction (the
+    # gt-side gradient is DCE'd in the train loss): exact hi+lo split vs
+    # the bf16 policy's single-pass table.
+    for exact in (True, False):
+        f = jax.jit(functools.partial(pk._chamfer_grad_mxu, exact=exact))
+        ms = timeit(f, a, b, i1, g1, i2, g2)
+        print(f"bwd  mxu 1-dir exact={str(exact):5}: {ms:7.2f} ms",
+              flush=True)
+
+    # f+b at the train loss under each table policy (4 losses, grad wrt
+    # preds only — the production configuration).
+    for exact in (True, False):
+        pk.CHAMFER_MXU_EXACT = exact
+        g = jax.jit(jax.grad(sep_loss))
+        ms = timeit(g, tuple(outs), gt)
+        print(f"f+b  separate (mxu exact={str(exact):5}): {ms:7.2f} ms",
+              flush=True)
+    pk.CHAMFER_MXU_EXACT = True
 
 
 if __name__ == "__main__":

@@ -48,21 +48,24 @@ def main():
     for (B, M, N, k) in SHAPES:
         q = jnp.asarray(rng.random((B, M, 3), np.float32))
         p = q if M == N else jnp.asarray(rng.random((B, N, 3), np.float32))
-        for tm in (128, 256):
+        for tm in (128,):
             if M % tm:
                 continue
-            for g in (128, 256, 512):
+            # (G, R) pairs: narrower extraction slabs need deeper insertion
+            # folds to keep the dry-group rescan probability negligible.
+            for g, r in ((256, 3), (128, 3), (128, 4), (64, 5), (64, 6),
+                         (32, 7)):
                 if N % g or N // g < 2:
                     continue
 
-                f = jax.jit(lambda q, p, tm=tm, g=g: pk.knn_pallas(
-                    q, p, k, tm=tm, g_size=g))
+                f = jax.jit(lambda q, p, tm=tm, g=g, r=r: pk.knn_pallas(
+                    q, p, k, tm=tm, g_size=g, r_size=r))
                 try:
                     ms = timeit(f, q, p)
-                    print(f"B{B} M{M} N{N} k{k} TM={tm} G={g}: {ms:7.2f} ms",
-                          flush=True)
+                    print(f"B{B} M{M} N{N} k{k} TM={tm} G={g} R={r}: "
+                          f"{ms:7.2f} ms", flush=True)
                 except Exception as e:
-                    print(f"B{B} M{M} N{N} k{k} TM={tm} G={g}: FAILED "
+                    print(f"B{B} M{M} N{N} k{k} TM={tm} G={g} R={r}: FAILED "
                           f"{str(e)[:80]}", flush=True)
 
 
