@@ -1910,35 +1910,70 @@ def three_interpolate(
 # tie-break (highest bidder index wins) exactly.
 
 _EMD_TN = 256
+# Cache the price-independent benefit base (3 - sqrt(dist)) in VMEM when the
+# (n, m) f32 plane fits: at the protocol scale (2048^2 = 16.8 MB) this
+# removes the 9-op distance rebuild + sqrt transcendental from EVERY auction
+# round (they are constants of the pair) for a one-time prologue fill.
+_EMD_CACHE_BYTES = 32 * 1024 * 1024
 
 
 def _emd_kernel(x1_ref, x2_ref, idx_ref, price_ref, assign_ref, inv_ref,
-                besti_ref, binc_ref, *, n, m, eps, iters, tn):
+                besti_ref, binc_ref, *scratch, n, m, eps, iters, tn,
+                cache_c):
     neg_inf = jnp.float32(-jnp.inf)
+    c_ref = scratch[0] if cache_c else None
 
     price_ref[0, :] = jnp.zeros((m,), jnp.float32)
     assign_ref[0, :] = jnp.full((n,), -1, jnp.int32)
     inv_ref[0, :] = jnp.full((m,), -1, jnp.int32)
+    # besti/binc are read where-masked by `unass` before any gated bid tile
+    # could have skipped writing them, but round 0 is all-unassigned so every
+    # tile writes once before any read; no init needed.
+
+    def _benefit_base(t):
+        """(tn, m) price-independent benefit base for bidder tile t."""
+        d = jnp.zeros((tn, m), jnp.float32)
+        for c in range(3):
+            diff = (x1_ref[0, pl.ds(t * tn, tn), c][:, None]
+                    - x2_ref[0, :, c][None, :])
+            d += diff * diff
+        return 3.0 - jnp.sqrt(d)
+
+    if cache_c:
+        def fill(t, _):
+            c_ref[pl.ds(t * tn, tn), :] = _benefit_base(t)
+            return 0
+
+        lax.fori_loop(0, n // tn, fill, 0)
 
     def bid_phase():
-        """Per n-tile: top-2 benefit -> best_i, bid_inc into scratch."""
+        """Per n-tile: top-2 benefit -> best_i, bid_inc into scratch.
+
+        Tiles whose points are all assigned are skipped: their stale
+        besti/binc entries are only ever consumed under an `unass` mask.
+        """
         price_row = price_ref[0, :][None, :]                # (1, m)
 
         def tile(t, _):
-            d = jnp.zeros((tn, m), jnp.float32)
-            for c in range(3):
-                diff = (x1_ref[0, pl.ds(t * tn, tn), c][:, None]
-                        - x2_ref[0, :, c][None, :])
-                d += diff * diff
-            benefit = 3.0 - jnp.sqrt(d) - price_row         # (tn, m)
-            best_i = jnp.argmax(benefit, axis=1).astype(jnp.int32)
-            best = jnp.max(benefit, axis=1)
-            col = lax.broadcasted_iota(jnp.int32, (tn, m), 1)
-            second = jnp.max(
-                jnp.where(col == best_i[:, None], neg_inf, benefit), axis=1
-            )
-            besti_ref[0, pl.ds(t * tn, tn)] = best_i
-            binc_ref[0, pl.ds(t * tn, tn)] = best - second + eps
+            unass_t = assign_ref[0, pl.ds(t * tn, tn)] < 0
+
+            @pl.when(jnp.any(unass_t))
+            def _():
+                if cache_c:
+                    base = c_ref[pl.ds(t * tn, tn), :]
+                else:
+                    base = _benefit_base(t)
+                benefit = base - price_row                  # (tn, m)
+                best_i = jnp.argmax(benefit, axis=1).astype(jnp.int32)
+                best = jnp.max(benefit, axis=1)
+                col = lax.broadcasted_iota(jnp.int32, (tn, m), 1)
+                second = jnp.max(
+                    jnp.where(col == best_i[:, None], neg_inf, benefit),
+                    axis=1,
+                )
+                besti_ref[0, pl.ds(t * tn, tn)] = best_i
+                binc_ref[0, pl.ds(t * tn, tn)] = best - second + eps
+
             return 0
 
         lax.fori_loop(0, n // tn, tile, 0)
@@ -1951,62 +1986,56 @@ def _emd_kernel(x1_ref, x2_ref, idx_ref, price_ref, assign_ref, inv_ref,
         masked_inc = jnp.where(unass, binc_ref[0, :], neg_inf)
         best_i_row = besti_ref[0, :][None, :]               # (1, n)
         minc_row = masked_inc[None, :]                      # (1, n)
+        bid_tile_of = jnp.where(unass, besti_ref[0, :] // tn, -1)
         bidder = lax.broadcasted_iota(jnp.int32, (tn, n), 1)
 
         # Segment max over bidders per target tile: max bid increment and
         # (among tied max bids) the highest bidder index -> the winner.
-        def tgt_tile(t, _):
-            trow = (lax.broadcasted_iota(jnp.int32, (tn, n), 0) + t * tn)
-            tmask = best_i_row == trow                      # (tn, n)
-            bids = jnp.where(tmask, minc_row, neg_inf)
-            max_inc = jnp.max(bids, axis=1)                 # (tn,)
-            winner = jnp.max(
-                jnp.where(bids == max_inc[:, None], bidder, -1), axis=1
-            )
-            # No bids -> max_inc = -inf -> winner must stay -1.
-            winner = jnp.where(max_inc == neg_inf, -1, winner)
-            # Reuse binc storage layout: stash per-target results.
-            price_ref[0, pl.ds(t * tn, tn)] = (
-                price_ref[0, pl.ds(t * tn, tn)]
-                + jnp.where(winner >= 0, max_inc, 0.0)
-            )
-            inv_ref[0, pl.ds(t * tn, tn)] = jnp.where(
-                winner >= 0, winner, inv_ref[0, pl.ds(t * tn, tn)]
-            )
-            return _
+        # Eviction + assignment fold in per won target: inv_ref[t] is
+        # always the CURRENT owner of t (it is only rewritten when t is
+        # won, by its new owner), so the previous owner of a won target is
+        # exactly the point to evict; the winner (an unassigned bidder —
+        # only unassigned points bid, so never the previous owner) takes
+        # it. Each point owns at most one target and wins at most one
+        # (it bids on exactly one), so per-tile assignment updates are
+        # disjoint and the fold needs no separate owner pass.
+        def tgt_tile(t, carry):
+            @pl.when(jnp.any(bid_tile_of == t))
+            def _():
+                trow = (lax.broadcasted_iota(jnp.int32, (tn, n), 0) + t * tn)
+                tmask = best_i_row == trow                  # (tn, n)
+                bids = jnp.where(tmask, minc_row, neg_inf)
+                max_inc = jnp.max(bids, axis=1)             # (tn,)
+                winner = jnp.max(
+                    jnp.where(bids == max_inc[:, None], bidder, -1), axis=1
+                )
+                # No bids -> max_inc = -inf -> winner must stay -1.
+                winner = jnp.where(max_inc == neg_inf, -1, winner)
+                won = winner >= 0
+                old_inv = inv_ref[0, pl.ds(t * tn, tn)]
+                price_ref[0, pl.ds(t * tn, tn)] = (
+                    price_ref[0, pl.ds(t * tn, tn)]
+                    + jnp.where(won, max_inc, 0.0)
+                )
+                inv_ref[0, pl.ds(t * tn, tn)] = jnp.where(
+                    won, winner, old_inv
+                )
+
+                pt = lax.broadcasted_iota(jnp.int32, (tn, n), 1)
+                evict_src = jnp.where(won & (old_inv >= 0), old_inv, -1)
+                evicted = jnp.any(evict_src[:, None] == pt, axis=0)  # (n,)
+                wmask = winner[:, None] == pt               # (tn, n)
+                tvals = (lax.iota(jnp.int32, tn) + t * tn)[:, None]
+                contrib = jnp.sum(jnp.where(wmask, tvals, 0), axis=0)
+                hit = jnp.any(wmask, axis=0)
+                a_row = assign_ref[0, :]
+                assign_ref[0, :] = jnp.where(
+                    hit, contrib, jnp.where(evicted, -1, a_row)
+                )
+
+            return carry
 
         lax.fori_loop(0, m // tn, tgt_tile, 0)
-
-        # Eviction + assignment per n-tile. A target's new owner is
-        # inv_ref[t] (just updated); previous owners of won targets are
-        # evicted; winners take their targets.
-        def own_tile(t, _):
-            a_tile = assign_ref[0, pl.ds(t * tn, tn)]       # (tn,)
-            bi_tile = besti_ref[0, pl.ds(t * tn, tn)]
-            i_tile = (lax.iota(jnp.int32, tn) + t * tn)
-            col = lax.broadcasted_iota(jnp.int32, (tn, m), 1)
-            inv_row = inv_ref[0, :][None, :]                # (1, m)
-
-            # winner_of[best_i[i]] via one-hot masked sum (exactly one hit).
-            gmask = col == bi_tile[:, None]                 # (tn, m)
-            win_sel = jnp.sum(jnp.where(gmask, inv_row, 0), axis=1)
-            is_winner = (a_tile < 0) & (win_sel == i_tile)
-
-            # Eviction: current owner i of target t is evicted iff t was won
-            # by someone else this round. inv_ref[t] != i detects that (the
-            # winner of t this round is never its previous owner: only
-            # unassigned points bid).
-            amask = col == a_tile[:, None]                  # (tn, m)
-            owner_now = jnp.sum(jnp.where(amask, inv_row, 0), axis=1)
-            evicted = (a_tile >= 0) & (owner_now != i_tile)
-
-            new_a = jnp.where(
-                is_winner, bi_tile, jnp.where(evicted, -1, a_tile)
-            )
-            assign_ref[0, pl.ds(t * tn, tn)] = new_a
-            return _
-
-        lax.fori_loop(0, n // tn, own_tile, 0)
         n_unass = jnp.sum((assign_ref[0, :] < 0).astype(jnp.int32))
         return it + 1, n_unass
 
@@ -2018,6 +2047,7 @@ def _emd_kernel(x1_ref, x2_ref, idx_ref, price_ref, assign_ref, inv_ref,
 
     # Final forced round (CUDA last=true): every leftover takes its current
     # best target, possibly breaking bijectivity — exactly like jnp_ref.
+    # (When the auction converged this is all-gated-off: zero bid tiles.)
     bid_phase()
     unass = assign_ref[0, :] < 0
     idx_ref[0, 0, :] = jnp.where(unass, besti_ref[0, :], assign_ref[0, :])
@@ -2027,9 +2057,19 @@ def _emd_assignment_pallas(xyz1, xyz2, eps, iters):
     B, n, _ = xyz1.shape
     m = xyz2.shape[1]
     tn = _EMD_TN if n % _EMD_TN == 0 else 128
+    cache_c = n * m * 4 <= _EMD_CACHE_BYTES
+    scratch = [
+        pltpu.VMEM((1, m), jnp.float32),   # price
+        pltpu.VMEM((1, n), jnp.int32),     # assignment
+        pltpu.VMEM((1, m), jnp.int32),     # inverse assignment / winner
+        pltpu.VMEM((1, n), jnp.int32),     # best target per bidder
+        pltpu.VMEM((1, n), jnp.float32),   # bid increment per bidder
+    ]
+    if cache_c:
+        scratch.append(pltpu.VMEM((n, m), jnp.float32))  # 3 - sqrt(dist)
     assignment = pl.pallas_call(
         functools.partial(_emd_kernel, n=n, m=m, eps=float(eps),
-                          iters=int(iters), tn=tn),
+                          iters=int(iters), tn=tn, cache_c=cache_c),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, n, 3), lambda b: (b, 0, 0),
@@ -2043,17 +2083,18 @@ def _emd_assignment_pallas(xyz1, xyz2, eps, iters):
         out_specs=pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 1, n), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((1, m), jnp.float32),   # price
-            pltpu.VMEM((1, n), jnp.int32),     # assignment
-            pltpu.VMEM((1, m), jnp.int32),     # inverse assignment / winner
-            pltpu.VMEM((1, n), jnp.int32),     # best target per bidder
-            pltpu.VMEM((1, n), jnp.float32),   # bid increment per bidder
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=B * iters * n * m * 20,
             bytes_accessed=B * (n + m) * 24,
             transcendentals=B * iters * n * m,
+        ),
+        # The cached (n, m) benefit plane alone exceeds Mosaic's default
+        # 16 MiB scoped-VMEM budget at the 2048^2 protocol scale; grant the
+        # kernel the cache plus headroom for its (tn, m) working tiles.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(n * m * 4 + 24 * 1024 * 1024) if cache_c
+            else None,
         ),
         interpret=_interpret(),
     )(xyz1.astype(jnp.float32), xyz2.astype(jnp.float32))
