@@ -107,6 +107,14 @@ class MultiHeadedAttention(nn.Module):
     h: int
     d_model: int
     dtype: Optional[jnp.dtype] = None
+    # Which operands share one input (and therefore one fused MultiDense
+    # GEMM + its param names): "qkv" (self-attention), "kv" (cross-
+    # attention), "none". EXPLICIT module field — not inferred from
+    # argument object identity — so a caller-side refactor that breaks
+    # aliasing (masking/casting an operand) fails loudly in the assert
+    # below instead of silently renaming the checkpoint param tree
+    # (ADVICE r4).
+    shared: str = "qkv"
 
     @nn.compact
     def __call__(self, query, key, value, mask=None):
@@ -124,11 +132,14 @@ class MultiHeadedAttention(nn.Module):
         def heads(y):
             return y.reshape(B, -1, self.h, d_k)
 
-        if query is key and key is value:
+        if self.shared == "qkv":
+            assert query is key and key is value, (
+                "shared='qkv' requires aliased q/k/v operands")
             y = layers.MultiDense((d, d, d), dtype=self.dtype)(query)
             q, k, v = (heads(y[..., :d]), heads(y[..., d:2 * d]),
                        heads(y[..., 2 * d:]))
-        elif key is value:
+        elif self.shared == "kv":
+            assert key is value, "shared='kv' requires aliased k/v operands"
             q = heads(layers.TorchDense(d, dtype=self.dtype)(query))
             y = layers.MultiDense((d, d), dtype=self.dtype)(key)
             k, v = heads(y[..., :d]), heads(y[..., d:])
@@ -157,15 +168,21 @@ class EncoderLayer(nn.Module):
     d_ff: int
     n_heads: int
     dtype: Optional[jnp.dtype] = None
+    # Residual-stream storage dtype. None keeps the stream (and LN outputs)
+    # f32 like the reference; bf16 halves the LN/residual HBM traffic — the
+    # transformer's dominant non-matmul cost (PERF.md: 14 LayerNorms + 6
+    # residual adds on (32, 2048, 512) ~ 13 ms). LN statistics are always
+    # computed in f32 (see layers.UnbiasedLayerNorm).
+    rdt: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, mask=None):
-        # x (the residual stream) and the LayerNorms stay f32; only the
-        # sublayer activations run at `dtype` (upcast by the residual add).
-        a = layers.UnbiasedLayerNorm()(x)
+        if self.rdt is not None:
+            x = x.astype(self.rdt)
+        a = layers.UnbiasedLayerNorm(dtype=self.dtype)(x)
         x = x + MultiHeadedAttention(self.n_heads, self.d_model,
                                      self.dtype)(a, a, a, mask)
-        a = layers.UnbiasedLayerNorm()(x)
+        a = layers.UnbiasedLayerNorm(dtype=self.dtype)(x)
         return x + FeedForward(self.d_model, self.d_ff, self.dtype)(a)
 
 
@@ -174,17 +191,19 @@ class DecoderLayer(nn.Module):
     d_ff: int
     n_heads: int
     dtype: Optional[jnp.dtype] = None
+    rdt: Optional[jnp.dtype] = None  # see EncoderLayer
 
     @nn.compact
     def __call__(self, x, memory, src_mask=None, tgt_mask=None):
-        a = layers.UnbiasedLayerNorm()(x)
+        if self.rdt is not None:
+            x = x.astype(self.rdt)
+        a = layers.UnbiasedLayerNorm(dtype=self.dtype)(x)
         x = x + MultiHeadedAttention(self.n_heads, self.d_model,
                                      self.dtype)(a, a, a, tgt_mask)
-        a = layers.UnbiasedLayerNorm()(x)
-        x = x + MultiHeadedAttention(self.n_heads, self.d_model, self.dtype)(
-            a, memory, memory, src_mask
-        )
-        a = layers.UnbiasedLayerNorm()(x)
+        a = layers.UnbiasedLayerNorm(dtype=self.dtype)(x)
+        x = x + MultiHeadedAttention(self.n_heads, self.d_model, self.dtype,
+                                     shared="kv")(a, memory, memory, src_mask)
+        a = layers.UnbiasedLayerNorm(dtype=self.dtype)(x)
         return x + FeedForward(self.d_model, self.d_ff, self.dtype)(a)
 
 
@@ -202,17 +221,18 @@ class Transformer(nn.Module):
     n_heads: int = 4
     ff_dims: int = 1024
     dtype: Optional[jnp.dtype] = None
+    rdt: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, src, tgt):
         encoder = [
             EncoderLayer(self.emb_dims, self.ff_dims, self.n_heads,
-                         self.dtype)
+                         self.dtype, self.rdt)
             for _ in range(self.n_blocks)
         ]
         decoder = [
             DecoderLayer(self.emb_dims, self.ff_dims, self.n_heads,
-                         self.dtype)
+                         self.dtype, self.rdt)
             for _ in range(self.n_blocks)
         ]
         enc_norm = layers.UnbiasedLayerNorm()
@@ -298,8 +318,13 @@ def svd_head(src_embedding, tgt_embedding, src, tgt):
 
 # Scoped bf16 for the transformer pointer (LayerNorm-based, no BatchNorm —
 # the stack whose bf16 mode regressed in round 2 was the BN-heavy DGCNN).
-# f32 residual stream / LN stats; sublayer activations bf16.
+# LN stats stay f32; sublayer activations bf16.
 TRANSFORMER_BF16 = True
+# bf16 RESIDUAL stream too (round 5): halves the 14-LayerNorm + 6-residual
+# stream traffic on (32, 2048, 512). The stream is only 2-3 adds deep
+# (n_blocks=1), so bf16 accumulation drift is one rounding per sublayer;
+# rotation accuracy is decided in the f32-HIGHEST svd head covariance.
+TRANSFORMER_RESID_BF16 = True
 
 
 def build(args=None) -> "Model":
@@ -325,6 +350,8 @@ class Model(nn.Module):
         src_p, tgt_p = Transformer(
             self.emb_dims,
             dtype=jnp.bfloat16 if TRANSFORMER_BF16 else None,
+            rdt=jnp.bfloat16 if (TRANSFORMER_BF16
+                                 and TRANSFORMER_RESID_BF16) else None,
         )(src_embedding, tgt_embedding)
         src_embedding = src_embedding + src_p
         tgt_embedding = tgt_embedding + tgt_p

@@ -89,9 +89,14 @@ class TorchDense(nn.Module):
         #
         # Output directly at the storage dtype: the MXU accumulates f32 and
         # rounds ONCE on write either way (verified bit-equal to
-        # f32-output + astype on both backends), but an f32 output buffer
-        # costs a full (rows, D) f32 write + re-read before the cast/bias
-        # pass — measured 13.4 ms/step of bias-add fusions in DCP.
+        # f32-output + astype on both backends — for the DOT OUTPUT only),
+        # but an f32 output buffer costs a full (rows, D) f32 write +
+        # re-read before the cast/bias pass — measured 13.4 ms/step of
+        # bias-add fusions in DCP. NOTE (bf16 policy): the bias add below
+        # now happens AFTER that rounding, at the storage dtype — one extra
+        # rounding on bias-carrying layers vs f32-accumulate + f32 bias +
+        # single final round. The full-scale bf16-vs-fp32 convergence run
+        # (PERF.md round 4) was captured WITH this ordering.
         lead = x.shape[:-1]
         y = jnp.dot(
             x.reshape(-1, x.shape[-1]).astype(dt), kernel.astype(dt),
@@ -457,19 +462,26 @@ class UnbiasedLayerNorm(nn.Module):
 
     Matches the reference's hand-rolled LayerNorm (dcp.py:144-154), which
     divides by the UNBIASED std plus eps (not sqrt(var + eps)).
+
+    ``dtype``: output storage dtype (params and the mean/std math are
+    always f32 — a bf16 input is upcast for the statistics). None emits
+    f32.
     """
 
     epsilon: float = 1e-6
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
         a = self.param("scale", nn.initializers.ones, (d,))
         b = self.param("bias", nn.initializers.zeros, (d,))
+        x = x.astype(jnp.float32)
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / (d - 1)
         std = jnp.sqrt(var)
-        return a * (x - mean) / (std + self.epsilon) + b
+        y = a * (x - mean) / (std + self.epsilon) + b
+        return y.astype(self.dtype) if self.dtype is not None else y
 
 
 def get_graph_feature(x, k: int = 20, minus_center: bool = True,
