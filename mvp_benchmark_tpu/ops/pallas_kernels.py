@@ -679,7 +679,11 @@ def _knn_tile(m: int) -> int:
     return m
 
 
-_KNN_G = 256  # two-level extraction slab width (micro-benched; see PERF.md)
+_KNN_G = 256  # two-level extraction slab width (micro-benched; see PERF.md
+# round-5 interleaved A/B at (B64, M3072, k16): G=256 12.2 ms vs G=128
+# 13.2 ms. NOTE a per-process ordering artifact: the FIRST timed config in
+# a fresh process reads 4-200x slow even after a blocked warmup call —
+# sweep tools must interleave configs and discard the first window.
 _KNN_R = 3    # insertion-fold register depth (depth = R+1 with overflow)
 
 
