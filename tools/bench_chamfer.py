@@ -54,6 +54,9 @@ def main():
 
     g_sep = jax.jit(jax.grad(sep_loss))
     g_multi = jax.jit(jax.grad(multi_loss))
+    # Throwaway: the FIRST timed window of a process absorbs a transient
+    # (PERF.md round-5 "per-process first-window artifact") — burn it.
+    timeit(g_sep, tuple(outs), gt)
     print(f"f+b  separate : {timeit(g_sep, tuple(outs), gt):7.2f} ms", flush=True)
     print(f"f+b  batched  : {timeit(g_multi, tuple(outs), gt):7.2f} ms", flush=True)
 

@@ -69,7 +69,47 @@ def profile(name: str, steps: int = 5, batch_size: int = 32):
             params, bs, opt, aux = step(params, bs, opt, batch,
                                         jnp.asarray(0.5), k)
         float(aux["total_loss"])
+    if os.environ.get("PROFILE_BY_SOURCE", "1") != "0":
+        return summarize_by_source(tmp, steps)
     return summarize(tmp, steps)
+
+
+def summarize_by_source(trace_dir: str, steps: int, top: int = 36):
+    """Source-line-exact attribution: aggregate device-lane XLA op events by
+    args['source'] (custom-VJP backward ops inherit the PRIMAL call site).
+    Step-span regions (jit_step parents and their numeric child spans) are
+    excluded — they tile the whole step and would double-count it."""
+    files = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not files:
+        print(f"no trace files under {trace_dir}")
+        return
+    with gzip.open(sorted(files)[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    pids = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pname = e.get("args", {}).get("name", "")
+            if "TPU" in pname or "/device" in pname.lower():
+                pids.add(e["pid"])
+    agg, cnt, total = collections.Counter(), collections.Counter(), 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in pids:
+            continue
+        name = e.get("name", "?")
+        if name.startswith("jit_step(") or name.isdigit():
+            continue
+        args = e.get("args", {}) or {}
+        src = args.get("source") or args.get("source_info")
+        key = src if src else ("<nosrc> " + name.split(".")[0])
+        agg[key] += e.get("dur", 0) / 1e3
+        cnt[key] += 1
+        total += e.get("dur", 0) / 1e3
+    print(f"# attributed device: {total / steps:.1f} ms/step")
+    for k, ms in agg.most_common(top):
+        print(f"{ms / steps:8.2f} ms  {cnt[k] // steps:4d}/step  {k}")
+    print(f"(trace dir kept: {trace_dir})")
 
 
 def summarize(trace_dir: str, steps: int, top: int = 40):
