@@ -392,6 +392,26 @@ _CHAMFER_MXU_MAX = 4096  # (M, 128) table + (TN, M) masks must fit VMEM
 # bf16 activation policy, whose Dense backwards already round every matmul
 # input to bf16; the fp32 policy keeps the exact split.
 CHAMFER_MXU_EXACT = True
+# Hybrid backward: XLA row-gather for b[i1] + ONE (N, 4) segment scatter-add
+# for the opposite-direction term (s0 = seg_sum(g2), t = seg_sum(g2*b)),
+# i.e. da = 2(g1 (a - b[i1]) + a s0 - t). Candidate replacement for the
+# MXU one-hot path: that kernel's cost is dominated by its two (TN, M)
+# iota-compare mask builds (VPU), not the matmuls (measured r5, PERF.md).
+CHAMFER_BWD_HYBRID = False
+
+
+def _chamfer_grad_hybrid(a, b, i1, g1, i2, g2):
+    """da for one direction without Pallas: gather + fused segment scatter."""
+    payload = jnp.concatenate(
+        [g2[..., None], g2[..., None] * b], axis=-1)        # (B, M, 4)
+    seg = jax.vmap(
+        lambda acc, idx, upd: acc.at[idx].add(upd)
+    )(jnp.zeros(a.shape[:2] + (4,), jnp.float32), i2,
+      payload.astype(jnp.float32))                           # (B, N, 4)
+    b_sel = jnp.take_along_axis(b, i1[..., None], axis=1)    # (B, N, 3)
+    return 2.0 * (
+        g1[..., None] * (a - b_sel) + a * seg[..., 0:1] - seg[..., 1:4]
+    )
 
 
 def _chamfer_bwd(res, g):
@@ -403,6 +423,10 @@ def _chamfer_bwd(res, g):
     a, b, i1, i2 = res
     g1, g2, _, _ = g
     N, M = a.shape[1], b.shape[1]
+    if CHAMFER_BWD_HYBRID:
+        da = _chamfer_grad_hybrid(a, b, i1, g1, i2, g2)
+        db = _chamfer_grad_hybrid(b, a, i2, g2, i1, g1)
+        return da.astype(a.dtype), db.astype(b.dtype)
     if CHAMFER_BWD_MXU and not _interpret() \
             and N % 128 == 0 and M % 128 == 0 \
             and N <= _CHAMFER_MXU_MAX and M <= _CHAMFER_MXU_MAX:

@@ -877,6 +877,16 @@ def test_chamfer_grad_mxu_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(da1), np.asarray(want_da),
                                rtol=2e-2, atol=1.5e-2)
 
+    # Hybrid backward (XLA gather + fused (N, 4) segment scatter): exact
+    # fp32 formulation, must match the gather/scatter golden to fp32
+    # reduction-order tolerance.
+    da_h = pallas_kernels._chamfer_grad_hybrid(a_j, b_j, i1, g1_j, i2, g2_j)
+    db_h = pallas_kernels._chamfer_grad_hybrid(b_j, a_j, i2, g2_j, i1, g1_j)
+    np.testing.assert_allclose(np.asarray(da_h), np.asarray(want_da),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(db_h), np.asarray(want_db),
+                               rtol=1e-5, atol=1e-5)
+
 
 def test_fused_attention_value_width(rng):
     """fused_attention with a value width different from D (the svd_head

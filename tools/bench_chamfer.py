@@ -96,7 +96,13 @@ def main():
         print(f"bwd  mxu 1-dir exact={str(exact):5}: {ms:7.2f} ms",
               flush=True)
 
-    # f+b at the train loss under each table policy (4 losses, grad wrt
+    # Hybrid backward (XLA row-gather + one (N, 4) segment scatter-add),
+    # one direction — candidate replacement for the MXU one-hot path.
+    f = jax.jit(pk._chamfer_grad_hybrid)
+    print(f"bwd  hybrid 1-dir         : "
+          f"{timeit(f, a, b, i1, g1, i2, g2):7.2f} ms", flush=True)
+
+    # f+b at the train loss under each backward (4 losses, grad wrt
     # preds only — the production configuration).
     for exact in (True, False):
         pk.CHAMFER_MXU_EXACT = exact
@@ -105,6 +111,11 @@ def main():
         print(f"f+b  separate (mxu exact={str(exact):5}): {ms:7.2f} ms",
               flush=True)
     pk.CHAMFER_MXU_EXACT = True
+    pk.CHAMFER_BWD_HYBRID = True
+    g = jax.jit(jax.grad(sep_loss))
+    print(f"f+b  separate (hybrid bwd): {timeit(g, tuple(outs), gt):7.2f} ms",
+          flush=True)
+    pk.CHAMFER_BWD_HYBRID = False
 
 
 if __name__ == "__main__":
