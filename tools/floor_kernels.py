@@ -1,5 +1,19 @@
 #!/usr/bin/env python
-"""MEASURED per-component floors for the VRCNet v5e audit (round 5).
+"""[INSTRUMENT INVALID — kept for reference] stripped-kernel floor attempt.
+
+Status (round 5): the numbers this tool produces are internally
+inconsistent — its stripped kernels time SLOWER than the full production
+kernels they are supposed to lower-bound (plane_min at (64, 3072^2) reads
+~49 ms where the full knn_pallas kernel measures 12.2 ms; onehot_mm at the
+group_max shape reads 111 ms where the full op runs 5.5 ms), with a
+pathological dependence on the M/N ratio that the production kernels do
+not show. Some Mosaic layout/pipelining pathology in this formulation is
+being measured, not the hardware floor. Do NOT cite its output. The
+measured-floor audit in PERF.md instead uses the production kernels'
+standalone microbenchmarks (tools/bench_knn.py, tools/bench_chamfer.py),
+which the in-step attribution matches launch-for-launch.
+
+Original intent: MEASURED per-component floors for the VRCNet v5e audit.
 
 The round-4 floor audit priced each step component at analytic datasheet
 rates; VERDICT r4 requires floors that are *measured best-case kernel
