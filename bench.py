@@ -65,12 +65,13 @@ V5P_PEAK, V5P_HBM = 459e12, 2765e9
 # HBM-bandwidth ratio for stream-bound rows, ~1.3x (clock + issue width)
 # for VPU- and latency-bound rows. Each row scales by ITS binding resource,
 # unlike the min-ratio whole-step scaling, which is only an upper bound.
-V5E_STEP_FRACTIONS = {  # r4 close, 142.9 ms device-attributed step
-    "mxu": 0.590,   # SA one-hot f+b 44.2, chamfer bwd 12.0, GEMMs 8.6,
-                    # group_max 11.3, three_interpolate+gathers 8.2
-    "vpu": 0.230,   # kNN distance planes 23.6, chamfer fwd planes 9.3
-    "latency": 0.148,  # FPS 8.2 (serial greedy) + ~13 ms dispatch tail
-    "hbm": 0.017,   # bias adds / storage-dtype epilogues 2.5
+V5E_STEP_FRACTIONS = {  # r5 close, 136.7 ms device-attributed step (PERF.md
+    # "Round-5 source-exact VRCNet attribution")
+    "mxu": 0.611,   # SA one-hot f+b 44.4, chamfer bwd 10.5, GEMMs 8.2,
+                    # group_max 11.3, ti+gathers 7.6, ball_query 1.6
+    "vpu": 0.240,   # kNN distance planes 23.6, chamfer fwd planes 9.2
+    "latency": 0.142,  # FPS 8.2 (serial greedy) + glue/copies ~11
+    "hbm": 0.007,   # bias adds / storage-dtype epilogues 0.9
 }
 V5P_COMPONENT_SCALE = {"mxu": 459 / 197, "vpu": 1.3, "latency": 1.3,
                        "hbm": 2765 / 819}

@@ -44,9 +44,19 @@ class DGCNN(nn.Module):
     def __call__(self, x, train: bool):
         from mvp_benchmark_tpu import ops
 
-        feat = layers.get_graph_feature(x, k=20, minus_center=False)
-        feat = jnp.swapaxes(feat, 1, 2)                  # (B,20,N,6)
-        a1 = jnp.pad(feat, ((0, 0), (0, 0), (0, 0), (0, 2)))
+        # Edge tensor [x_j | x_i | 0 0] built straight in the fused chain's
+        # (B, k, N, 8) layout: ONE bf16 one-hot MXU gather against the
+        # 8-lane-padded coordinate table (6.5 vs 10.0 ms for the row-gather
+        # formulation, PERF.md round 5) emitting slot-major rows, plus one
+        # fused broadcast-add for the center lanes — no slice / concat /
+        # pad / float transpose passes. Lane layout matches the previous
+        # concat[neigh, center] pad(6->8), so W0's padding is unchanged.
+        idx = ops.knn_indices(x, k=20)                   # (B, N, 20)
+        idxT = jnp.swapaxes(idx, 1, 2)                   # (B, 20, N) int32
+        x8 = jnp.pad(x, ((0, 0), (0, 0), (0, 5)))       # x_j -> lanes 0:3
+        neigh8 = ops.grouping_operation(x8, idxT, approx=True)
+        center8 = jnp.pad(x, ((0, 0), (0, 0), (3, 2)))  # x_i -> lanes 3:6
+        a1 = (neigh8 + center8[:, None]).astype(jnp.bfloat16)
 
         cins = (6,) + self.fused_chs[:-1]
         Ws = tuple(

@@ -485,7 +485,8 @@ class UnbiasedLayerNorm(nn.Module):
 
 
 def get_graph_feature(x, k: int = 20, minus_center: bool = True,
-                      include_center_first: bool = False):
+                      include_center_first: bool = False,
+                      approx_gather: bool = False):
     """DGCNN edge features from dense kNN.
 
     x: (B, N, C) channels-last. Returns (B, N, k, 2C).
@@ -494,11 +495,18 @@ def get_graph_feature(x, k: int = 20, minus_center: bool = True,
     minus_center=False -> concat [x_i, x_j]
     include_center_first=False matches the registration variant's concat order
     [x_j, x_i] (dcp.py:44-66).
+    approx_gather=True routes the neighbour gather through the bf16 one-hot
+    MXU path even at C=3 — only safe for the subtraction-free variants
+    (minus_center=False), where the one bf16 rounding matches the edge
+    tensor's own storage dtype downstream.
     """
     from mvp_benchmark_tpu import ops
 
+    assert not (approx_gather and minus_center), \
+        "bf16-rounded neighbours would feed a cancellation-prone x_j - x_i"
     idx = ops.knn_indices(x, k)  # kNN in the feature space of x
-    neigh = ops.grouping_operation(x, idx)               # (B, N, k, C)
+    neigh = ops.grouping_operation(
+        x, idx, approx=True if approx_gather else None)     # (B, N, k, C)
     center = jnp.broadcast_to(x[:, :, None, :], neigh.shape)
     if minus_center:
         return jnp.concatenate([center, neigh - center], axis=-1)

@@ -132,14 +132,16 @@ def sa_attention(proj, x1, idx_jm, W1, W2, b2, rel, mid, share):
     )
 
 
-def grouping_operation(features, idx):
+def grouping_operation(features, idx, approx=None):
     """Group rows by (B, M, K) index (see jnp_ref.grouping_operation). On TPU
     the backward runs as an MXU one-hot matmul instead of XLA's row-at-a-time
-    scatter fusion (the largest cost in the VRCNet step profile)."""
+    scatter fusion (the largest cost in the VRCNet step profile). ``approx``
+    forces the bf16 one-hot forward even at C=3 (see
+    pallas_kernels.grouping_operation)."""
     if _on_tpu():
         from mvp_benchmark_tpu.ops import pallas_kernels
 
-        return pallas_kernels.grouping_operation(features, idx)
+        return pallas_kernels.grouping_operation(features, idx, approx)
     return jnp_ref.grouping_operation(features, idx)
 
 
