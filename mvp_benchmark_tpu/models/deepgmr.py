@@ -23,12 +23,39 @@ from mvp_benchmark_tpu.models import layers
 _HI = lax.Precision.HIGHEST
 
 
+def _diamond_key(s: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """Pseudo-angle in [0, 4): strictly monotone in atan2(s, c) mod 2pi.
+
+    Piecewise-rational per quadrant — orders angles WITHOUT transcendentals
+    (the atan2/mod pair costs ~10x this on the VPU). (0, 0) maps to 0,
+    matching IEEE atan2(0, 0) == 0."""
+    zero = (jnp.abs(s) + jnp.abs(c)) == 0.0
+    sd = jnp.where(zero, 1.0, 0.0)  # keep denominators non-zero under where
+    q1 = s / (s + c + sd)
+    q2 = 1.0 + (-c) / (s - c + sd)
+    q3 = 2.0 + (-s) / (-s - c + sd)
+    q4 = 3.0 + c / (c - s + sd)
+    key = jnp.where(
+        s >= 0.0, jnp.where(c >= 0.0, q1, q2), jnp.where(c < 0.0, q3, q4)
+    )
+    return jnp.where(zero, 0.0, key)
+
+
 def get_rri_features(pts: jnp.ndarray, k: int) -> jnp.ndarray:
     """Rotation-invariant RRI features (deepgmr.py get_rri_cluster:54-95).
 
     pts: (B, S, 3) -> (B, S, 4k). The reference computes the cross-product /
-    argpartition block in numpy on host; this version is one fused jnp graph.
+    argpartition block in numpy on host (non-differentiable); this version
+    is one fused jnp graph under an equivalent stop_gradient.
+
+    phi needs only the SECOND-SMALLEST pairwise angle per row (the diagonal
+    is 0 = smallest). Ordering runs on the transcendental-free diamond key
+    (monotone in the angle); the exact atan2/mod evaluates only at the one
+    selected (B, S, k) pair — not all (B, S, k, k) pairs — and lax.top_k's
+    per-row sort becomes two masked min-reductions. Measured round 5:
+    the full-plane atan2+mod+top_k block was 56 ms/step of DeepGMR's 111.
     """
+    pts = lax.stop_gradient(pts)
     idx = ops.knn_indices(pts, k + 1)[..., 1:]            # exclude self
     q = ops.grouping_operation(pts, idx)                  # (B, S, k, 3)
     p = jnp.broadcast_to(pts[:, :, None, :], q.shape)
@@ -45,11 +72,21 @@ def get_rri_features(pts: jnp.ndarray, k: int) -> jnp.ndarray:
     cross = jnp.cross(T_q[:, :, None, :, :], T_q[:, :, :, None, :])
     sin_psi = jnp.sum(cross * pn[:, :, None, :, :], axis=-1)   # (B,S,k,k)
     cos_psi = jnp.sum(T_q[:, :, None, :, :] * T_q[:, :, :, None, :], axis=-1)
-    psi = jnp.mod(jnp.arctan2(sin_psi, cos_psi), 2.0 * jnp.pi)
-    # Second-smallest psi per row (the diagonal is 0 = smallest), matching
-    # np.argpartition(psi, 1)[..., 1:2].
-    neg2, _ = lax.top_k(-psi, 2)
-    phi = -neg2[..., 1:]                                   # (B, S, k, 1)
+    key = _diamond_key(sin_psi, cos_psi)
+    # argmin (== the diagonal's 0 barring exact ties), mask that single
+    # occurrence, argmin again = second-smallest — same first-index
+    # tie-breaks as lax.top_k(-psi, 2).
+    i1 = jnp.argmin(key, axis=-1)
+    cols = jnp.arange(key.shape[-1])
+    key2 = jnp.where(cols == i1[..., None], jnp.inf, key)
+    # Select (sin, cos) at the second-smallest index with masked reductions
+    # — take_along_axis on the minor axis is a row-at-a-time XLA gather
+    # (measured 80 ms/step here); an iota-compare mask + reduce fuses into
+    # one VPU pass per plane.
+    mask2 = cols == jnp.argmin(key2, axis=-1)[..., None]   # (B, S, k, k)
+    s_sel = jnp.sum(jnp.where(mask2, sin_psi, 0.0), axis=-1, keepdims=True)
+    c_sel = jnp.sum(jnp.where(mask2, cos_psi, 0.0), axis=-1, keepdims=True)
+    phi = jnp.mod(jnp.arctan2(s_sel, c_sel), 2.0 * jnp.pi)  # (B, S, k, 1)
 
     feat = jnp.concatenate([rp, rq, theta, phi], axis=-1)  # (B, S, k, 4)
     B, S = pts.shape[:2]

@@ -235,3 +235,49 @@ def test_pcn_bf16_mode_parity():
     assert np.isfinite(b16).all()
     # Same trajectory within bf16 resolution-driven drift.
     np.testing.assert_allclose(b16, f32, rtol=0.05)
+
+
+def test_rri_phi_diamond_key_matches_full_atan2():
+    """The diamond-key top-2 selection in get_rri_features must reproduce
+    the full-plane formulation (atan2+mod over all (k, k) pairs, then
+    lax.top_k) that mirrors the reference's np.argpartition(psi, 1)[..., 1]
+    (registration/model_utils.py:76-127)."""
+    from jax import lax
+
+    from mvp_benchmark_tpu import ops
+    from mvp_benchmark_tpu.models import deepgmr
+
+    rng = np.random.default_rng(3)
+    k = 6
+    # Random cloud + a structured (grid-surface) cloud: near-ties in psi.
+    grid = np.stack(np.meshgrid(np.linspace(0.1, 1, 16),
+                                np.linspace(0.1, 1, 16)), -1).reshape(-1, 2)
+    surf = np.concatenate(
+        [grid, (0.3 + 0.1 * np.sin(8 * grid[:, :1]))], axis=-1)
+    for pts_np in (
+        rng.random((2, 128, 3)).astype(np.float32),
+        np.tile(surf[None].astype(np.float32), (2, 1, 1)),
+    ):
+        pts = jnp.asarray(pts_np)
+        feat_new = deepgmr.get_rri_features(pts, k)
+        B, S = pts.shape[:2]
+        phi_new = feat_new.reshape(B, S, k, 4)[..., 3]
+
+        # Full-plane golden (the pre-round-5 formulation).
+        idx = ops.knn_indices(pts, k + 1)[..., 1:]
+        q = ops.grouping_operation(pts, idx)
+        p = jnp.broadcast_to(pts[:, :, None, :], q.shape)
+        pn = p / jnp.linalg.norm(p, axis=-1, keepdims=True)
+        dot = jnp.sum(pn * (q / jnp.linalg.norm(q, axis=-1, keepdims=True)),
+                      axis=-1, keepdims=True)
+        T_q = q - dot * p
+        cross = jnp.cross(T_q[:, :, None, :, :], T_q[:, :, :, None, :])
+        sin_psi = jnp.sum(cross * pn[:, :, None, :, :], axis=-1)
+        cos_psi = jnp.sum(
+            T_q[:, :, None, :, :] * T_q[:, :, :, None, :], axis=-1)
+        psi = jnp.mod(jnp.arctan2(sin_psi, cos_psi), 2.0 * jnp.pi)
+        neg2, _ = lax.top_k(-psi, 2)
+        phi_ref = -neg2[..., 1]
+
+        np.testing.assert_allclose(
+            np.asarray(phi_new), np.asarray(phi_ref), rtol=1e-5, atol=1e-5)
