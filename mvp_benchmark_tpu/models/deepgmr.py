@@ -57,7 +57,11 @@ def get_rri_features(pts: jnp.ndarray, k: int) -> jnp.ndarray:
     """
     pts = lax.stop_gradient(pts)
     idx = ops.knn_indices(pts, k + 1)[..., 1:]            # exclude self
-    q = ops.grouping_operation(pts, idx)                  # (B, S, k, 3)
+    # "hilo": exact (hi+lo bf16 split, ~1e-6 of fp32) one-hot MXU gather —
+    # the q values feed the cancellation-prone T_q = q - dot*p, so the
+    # plain bf16 table is not acceptable here, but the row-gather
+    # formulation was 16.9 ms/step of DeepGMR's 52 (PERF.md round 5).
+    q = ops.grouping_operation(pts, idx, approx="hilo")   # (B, S, k, 3)
     p = jnp.broadcast_to(pts[:, :, None, :], q.shape)
 
     rp = jnp.linalg.norm(p, axis=-1, keepdims=True)

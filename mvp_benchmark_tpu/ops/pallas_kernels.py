@@ -1681,20 +1681,27 @@ def _float0_like(x):
     return np.zeros(x.shape, jax.dtypes.float0)
 
 
-def _gather_rows_kernel(idx_ref, t_ref, o_ref, *, tm):
+def _gather_rows_kernel(idx_ref, t_ref, o_ref, *, tm, exact=False):
     m = pl.program_id(1)
     n = t_ref.shape[1]
     ii = idx_ref[0, 0, pl.ds(m * tm, tm)]                   # (TM,)
     col = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
     oh = (col == ii[:, None]).astype(jnp.bfloat16)
     # Table cast happens in VMEM (no HBM astype round-trip).
-    t = t_ref[0].astype(jnp.bfloat16)
-    o_ref[0] = jnp.dot(
-        oh, t, preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    tf = t_ref[0].astype(jnp.float32)
+    thi = tf.astype(jnp.bfloat16)
+    acc = jnp.dot(oh, thi, preferred_element_type=jnp.float32)
+    if exact:
+        # hi+lo split (chamfer-backward pattern): the residual table
+        # carries the bf16 rounding error, recovering ~1e-6-of-fp32
+        # gathered values at the cost of one extra matmul.
+        tlo = (tf - thi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = acc + jnp.dot(oh, tlo, preferred_element_type=jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def _gather_rows_onehot(features: jnp.ndarray, flat_idx: jnp.ndarray):
+def _gather_rows_onehot(features: jnp.ndarray, flat_idx: jnp.ndarray,
+                        exact: bool = False):
     """(B, N, C) x (B, M) -> (B, M, C) via a VMEM one-hot MXU matmul.
 
     The table is rounded to bf16 (the one-hot itself is exact): XLA's
@@ -1702,6 +1709,9 @@ def _gather_rows_onehot(features: jnp.ndarray, flat_idx: jnp.ndarray):
     scale (>3M gathered rows per level) the MXU formulation is 2-6x faster.
     Used for ACTIVATION gathers only — every downstream matmul would round
     the gathered values to bf16 anyway (XLA DEFAULT precision).
+    ``exact``: hi+lo bf16 table split (~1e-6 of fp32, 2 matmuls) — for
+    value-sensitive gathers (e.g. RRI coordinates feeding the T_q
+    cancellation) that would otherwise stay on the slow row-gather path.
     """
     B, N, C = features.shape
     # Mosaic compile time explodes (minutes) for awkward lane counts
@@ -1723,7 +1733,7 @@ def _gather_rows_onehot(features: jnp.ndarray, flat_idx: jnp.ndarray):
     # Synthetic one-hot matmul; a gather performs no arithmetic.
     _audit_flops(2 * B * Mp * N * max(C, 128), 0.0)
     out = pl.pallas_call(
-        functools.partial(_gather_rows_kernel, tm=tm),
+        functools.partial(_gather_rows_kernel, tm=tm, exact=exact),
         grid=(B, Mp // tm),
         in_specs=[
             pl.BlockSpec((1, 1, Mp), lambda b, m: (b, 0, 0),
@@ -1757,12 +1767,17 @@ def gather_rows(
     approx=False: forward is the plain XLA gather (exact, row-bound).
     approx=True: forward is a one-hot MXU matmul with the table rounded to
     bf16 — for activation gathers, where every consumer matmul applies the
-    same rounding anyway. Backward always routes through
+    same rounding anyway. approx="hilo": one-hot MXU matmul with a hi+lo
+    bf16 table split (~1e-6 of fp32 — value-sensitive coordinate gathers
+    at MXU speed). Backward always routes through
     ``scatter_add_rows`` instead of XLA's row-at-a-time scatter fusion.
     """
     B, N, C = features.shape
     flat = idx.reshape(B, -1).astype(jnp.int32)
-    if approx:
+    if approx == "hilo":
+        out = _gather_rows_onehot(features, flat, exact=True).astype(
+            features.dtype)
+    elif approx:
         out = _gather_rows_onehot(features, flat).astype(features.dtype)
     else:
         out = jnp.take_along_axis(features, flat[..., None], axis=1)
@@ -1908,7 +1923,7 @@ def grouping_operation(features: jnp.ndarray, idx: jnp.ndarray,
     if use_approx and C < 8:
         pad = 8 - C
         out = gather_rows(
-            jnp.pad(features, ((0, 0), (0, 0), (0, pad))), idx, True)
+            jnp.pad(features, ((0, 0), (0, 0), (0, pad))), idx, use_approx)
         return out[..., :C]
     return gather_rows(features, idx, use_approx)
 

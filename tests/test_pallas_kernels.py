@@ -173,6 +173,18 @@ def test_gather_rows_backward_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(exact), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-5)
 
+    # approx="hilo": hi+lo bf16 table split — exact to ~1e-6 of fp32
+    # (the RRI coordinate-gather path; plain bf16 would be ~1e-2 here).
+    hilo = pallas_kernels.gather_rows(feats, idx, "hilo")
+    np.testing.assert_allclose(np.asarray(hilo), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    # And through grouping_operation's C<8 lane-pad branch at C=3.
+    feats3 = feats[..., :3]
+    hilo3 = pallas_kernels.grouping_operation(feats3, idx, approx="hilo")
+    ref3 = jnp_ref.grouping_operation(feats3, idx)
+    np.testing.assert_allclose(np.asarray(hilo3), np.asarray(ref3),
+                               rtol=1e-5, atol=1e-6)
+
 
 def test_three_interpolate_mxu_backward(rng):
     B, Msrc, C, Ntgt = 2, 40, 7, 65
