@@ -13,6 +13,17 @@ measured-floor audit in PERF.md instead uses the production kernels'
 standalone microbenchmarks (tools/bench_knn.py, tools/bench_chamfer.py),
 which the in-step attribution matches launch-for-launch.
 
+Second data point (same session): rewriting the kernels with the
+production chamfer access pattern (full (M, 3)/(N, 3) blocks per batch
+element, in-kernel sublane slicing) and casting the one-hot table to bf16
+in-kernel changed NOTHING — the same bimodal result reproduces exactly
+(M <= N shapes: ~45-50 ms regardless of size, down to a (64, 384^2) row
+that does 1/64 the work of L1; M > N shapes: 2-5 ms), with per-grid-step
+overhead differing ~50x at identical per-step FLOPs. The effect is keyed
+on the M-vs-N relationship, not on data volume, aliasing, dtype, or DMA
+granularity — an unexplained Mosaic scheduling/pipelining interaction this
+exact formulation triggers and the production kernels do not.
+
 Original intent: MEASURED per-component floors for the VRCNet v5e audit.
 
 The round-4 floor audit priced each step component at analytic datasheet
@@ -57,12 +68,17 @@ REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 
 
 def _plane_min_kernel(q_ref, p_ref, out_ref, *, tn):
+    # Chamfer-kernel access pattern: the WHOLE (N, 3) blocks are resident
+    # per batch element; the query tile is an in-kernel sublane slice.
+    # (The first revision block-mapped a (1, TN, 3) query tile per grid
+    # step — per-step 3-lane-wide DMAs — and timed 4-20x SLOWER than the
+    # full production kernels; see the header note.)
     i = pl.program_id(1)
     n = p_ref.shape[1]
     d = jnp.zeros((tn, n), jnp.float32)
     for c in range(3):
-        diff = q_ref[0, :, c][:, None] - p_ref[0, :, c][None, :]
-        d += diff * diff
+        qc = q_ref[0, pl.ds(i * tn, tn), c]
+        d += (qc[:, None] - p_ref[0, :, c][None, :]) ** 2
     out_ref[0, 0, pl.ds(i * tn, tn)] = jnp.min(d, axis=1)
 
 
@@ -74,7 +90,7 @@ def plane_min(q, p):
         functools.partial(_plane_min_kernel, tn=TN),
         grid=(B, M // TN),
         in_specs=[
-            pl.BlockSpec((1, TN, 3), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, M, 3), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, 3), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -94,7 +110,7 @@ def _onehot_mm_kernel(idx_ref, t_ref, out_ref, *, tm):
     col = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
     ii = idx_ref[0, 0, pl.ds(i * tm, tm)]
     oh = (col == ii[:, None]).astype(jnp.bfloat16)
-    out_ref[0] = jnp.dot(oh, t_ref[...],
+    out_ref[0] = jnp.dot(oh, t_ref[...].astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
 
 
