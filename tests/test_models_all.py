@@ -281,3 +281,29 @@ def test_rri_phi_diamond_key_matches_full_atan2():
 
         np.testing.assert_allclose(
             np.asarray(phi_new), np.asarray(phi_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_diamond_key_monotone_in_angle():
+    """_diamond_key must order exactly like atan2(s, c) mod 2pi: dense
+    angle sweep incl. exact axis points, negative zeros, and (0, 0)."""
+    from mvp_benchmark_tpu.models.deepgmr import _diamond_key
+
+    ang = np.concatenate([
+        np.linspace(0.0, 2 * np.pi, 4097, endpoint=False),
+        [0.0, np.pi / 2, np.pi, 3 * np.pi / 2],
+    ])
+    s = np.sin(ang).astype(np.float32)
+    c = np.cos(ang).astype(np.float32)
+    # exact axis signs (sin(pi) is 1e-7, not 0 — set them exactly)
+    s[-4:] = [0.0, 1.0, 0.0, -1.0]
+    c[-4:] = [1.0, 0.0, -1.0, 0.0]
+    psi = np.mod(np.arctan2(s, c), 2 * np.pi)
+    key = np.asarray(_diamond_key(jnp.asarray(s), jnp.asarray(c)))
+    # Strict co-monotonicity: sorting by key == sorting by psi.
+    np.testing.assert_array_equal(np.argsort(key, kind="stable"),
+                                  np.argsort(psi, kind="stable"))
+    # Degenerate/edge inputs map like atan2: (0,0)->0, (-0,c)->0.
+    edge_s = jnp.asarray([0.0, -0.0, 0.0], jnp.float32)
+    edge_c = jnp.asarray([0.0, 1.0, 1.0], jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(_diamond_key(edge_s, edge_c)), [0.0, 0.0, 0.0])
