@@ -1684,19 +1684,28 @@ def _float0_like(x):
 def _gather_rows_kernel(idx_ref, t_ref, o_ref, *, tm, exact=False):
     m = pl.program_id(1)
     n = t_ref.shape[1]
+    c = t_ref.shape[2]
     ii = idx_ref[0, 0, pl.ds(m * tm, tm)]                   # (TM,)
     col = lax.broadcasted_iota(jnp.int32, (tm, n), 1)
     oh = (col == ii[:, None]).astype(jnp.bfloat16)
     # Table cast happens in VMEM (no HBM astype round-trip).
     tf = t_ref[0].astype(jnp.float32)
     thi = tf.astype(jnp.bfloat16)
-    acc = jnp.dot(oh, thi, preferred_element_type=jnp.float32)
-    if exact:
+    if exact and 2 * c <= 128:
         # hi+lo split (chamfer-backward pattern): the residual table
         # carries the bf16 rounding error, recovering ~1e-6-of-fp32
-        # gathered values at the cost of one extra matmul.
+        # gathered values. [hi | lo] packed side by side: ONE matmul pass
+        # (the MXU processes 128 output lanes either way; two separate
+        # (N, C<=64) matmuls would pay two full passes).
         tlo = (tf - thi.astype(jnp.float32)).astype(jnp.bfloat16)
-        acc = acc + jnp.dot(oh, tlo, preferred_element_type=jnp.float32)
+        acc2 = jnp.dot(oh, jnp.concatenate([thi, tlo], axis=-1),
+                       preferred_element_type=jnp.float32)
+        acc = acc2[:, :c] + acc2[:, c:]
+    else:
+        acc = jnp.dot(oh, thi, preferred_element_type=jnp.float32)
+        if exact:
+            tlo = (tf - thi.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = acc + jnp.dot(oh, tlo, preferred_element_type=jnp.float32)
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
