@@ -477,8 +477,15 @@ class UnbiasedLayerNorm(nn.Module):
         a = self.param("scale", nn.initializers.ones, (d,))
         b = self.param("bias", nn.initializers.zeros, (d,))
         x = x.astype(jnp.float32)
+        # One-pass statistics: E[x^2] - E[x]^2 lets XLA fuse both
+        # reductions into a single sweep over x (the two-pass
+        # sum((x - mean)^2) form re-reads x after the mean reduce).
+        # LN inputs here are centered O(1) activations, so the
+        # cancellation risk of the textbook identity is negligible; the
+        # max(., 0) guards the fp32 rounding case.
         mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / (d - 1)
+        msq = jnp.mean(x * x, axis=-1, keepdims=True)
+        var = jnp.maximum(msq - mean * mean, 0.0) * (d / (d - 1))
         std = jnp.sqrt(var)
         y = a * (x - mean) / (std + self.epsilon) + b
         return y.astype(self.dtype) if self.dtype is not None else y
