@@ -2756,18 +2756,36 @@ def _em_bn(h, st_ref, g_ref, b_ref):
     return hhat, jnp.maximum(hhat * g[None, :] + b[None, :], 0.0)
 
 
-def _em_chain(a1j, W_refs, g_refs, b_refs, st_refs, upto):
+def _em_bn_fast(h, st_ref, g_ref, b_ref):
+    """Forward-only BN+relu with the per-channel scale/shift folded:
+    a = relu(h * s + t), s = gamma * rsqrt(var + eps), t = beta - mu * s.
+    Skips the hhat intermediate (2 fewer VPU ops per element) — for
+    forward kernels that never consume hhat. Same value as _em_bn up to
+    one f32 reassociation rounding."""
+    mu = st_ref[0, :].astype(jnp.float32)
+    var = st_ref[1, :].astype(jnp.float32)
+    sc = g_ref[0, :].astype(jnp.float32) * lax.rsqrt(var + _EM_EPS)
+    t = b_ref[0, :].astype(jnp.float32) - mu * sc
+    return jnp.maximum(h * sc[None, :] + t[None, :], 0.0)
+
+
+def _em_chain(a1j, W_refs, g_refs, b_refs, st_refs, upto, need_hhat=True):
     """Forward through layers 0..upto-1 from one j-slab (TM, C1) f32.
 
     Returns (h_list, hhat_list, a_list); h_{upto} is appended to h_list
     when upto < n_layers (its BN stats are what the caller accumulates).
+    need_hhat=False uses the folded-BN fast path (hhat_list holds Nones).
     """
     hs, hhats, acts = [], [], []
     a = a1j
     for l in range(upto):
         h = jnp.dot(a.astype(jnp.bfloat16), W_refs[l][:].astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32)
-        hhat, a = _em_bn(h, st_refs[l], g_refs[l], b_refs[l])
+        if need_hhat:
+            hhat, a = _em_bn(h, st_refs[l], g_refs[l], b_refs[l])
+        else:
+            hhat = None
+            a = _em_bn_fast(h, st_refs[l], g_refs[l], b_refs[l])
         hs.append(h)
         hhats.append(hhat)
         acts.append(a)
@@ -2790,7 +2808,8 @@ def _em_stat_kernel(*refs, upto, k, tm, nl):
     def body(j, carry):
         s, ss = carry
         a1j = a1_ref[0, pl.ds(j, 1), :, :][0].astype(jnp.float32)
-        hs, _, _ = _em_chain(a1j, W_refs, g_refs, b_refs, st_refs, upto)
+        hs, _, _ = _em_chain(a1j, W_refs, g_refs, b_refs, st_refs, upto,
+                             need_hhat=False)
         h = hs[upto]
         return (s + jnp.sum(h, axis=0, keepdims=True),
                 ss + jnp.sum(h * h, axis=0, keepdims=True))
@@ -2813,6 +2832,8 @@ def _em_final_kernel(*refs, k, tm, nl):
 
     def body(j, carry):
         a1j = a1_ref[0, pl.ds(j, 1), :, :][0].astype(jnp.float32)
+        # NOT the fast path: the max-pool backward identifies argmax edges
+        # by float equality against these exact-path values.
         _, _, acts = _em_chain(a1j, W_refs, g_refs, b_refs, st_refs, nl)
         return tuple(jnp.maximum(c, a) for c, a in zip(carry, acts))
 
@@ -3341,9 +3362,18 @@ def _sm_h0(d, j, tm, tj):
     return h0, dist4, ndiffP
 
 
-def _sm_chain(d, h0, upto):
-    """Forward from h0: returns (hhat1, x1, h1[, h2[, hhat2, x2]])."""
-    hhat1, x1 = _em_bn(h0, d["st1L"], d["g1L"], d["be1L"])
+def _sm_chain(d, h0, upto, fast=False):
+    """Forward from h0: returns (hhat1, x1, h1[, h2[, hhat2, x2]]).
+
+    fast=True uses the folded-BN forward (no hhat intermediates; the hhat
+    slots hold None) — for the stat/final kernels, which never consume
+    them. Backward kernels keep the exact _em_bn (hhat feeds the S sums).
+    """
+    if fast:
+        x1 = _em_bn_fast(h0, d["st1L"], d["g1L"], d["be1L"])
+        hhat1 = None
+    else:
+        hhat1, x1 = _em_bn(h0, d["st1L"], d["g1L"], d["be1L"])
     h1 = _sm_dot(x1, d["W2BD"][:]) + d["b2L"][0, :].astype(
         jnp.float32)[None, :]
     if upto == 1:
@@ -3351,7 +3381,11 @@ def _sm_chain(d, h0, upto):
     h2 = _sm_dot(h1, d["W3BD"][:])
     if upto == 2:
         return hhat1, x1, h1, h2
-    hhat2, x2 = _em_bn(h2, d["st2L"], d["g2L"], d["be2L"])
+    if fast:
+        x2 = _em_bn_fast(h2, d["st2L"], d["g2L"], d["be2L"])
+        hhat2 = None
+    else:
+        hhat2, x2 = _em_bn(h2, d["st2L"], d["g2L"], d["be2L"])
     return hhat1, x1, h1, h2, hhat2, x2
 
 
@@ -3415,7 +3449,7 @@ def _sm_stat_kernel(*refs, level, m, tm, tj, jt, G):
     def body(j, carry):
         s, ss = carry
         h0, _, _ = _sm_h0(d, j, tm, tj)
-        h = h0 if level == 0 else _sm_chain(d, h0, 2)[3]
+        h = h0 if level == 0 else _sm_chain(d, h0, 2, fast=True)[3]
         hm = h * (rowm * _sm_colmask(j, m, tm, tj, G))
         return (s + jnp.sum(hm, axis=0, keepdims=True),
                 ss + jnp.sum(hm * h, axis=0, keepdims=True))
@@ -3442,6 +3476,7 @@ def _sm_final_kernel(*refs, m, tm, tj, jt, G):
 
     def body(j, wm):
         h0, _, _ = _sm_h0(d, j, tm, tj)
+        # NOT the fast path: bwd routes the wmax cotangent by h1 equality.
         _, _, h1, _, _, x2 = _sm_chain(d, h0, 3)
         simr4 = lax.dot_general(
             x2, d["W4seg"][:].astype(jnp.float32),
@@ -4008,6 +4043,7 @@ def _ge_final_kernel(a1_ref, W_ref, b_ref, g_ref, be_ref, st_ref, x_ref,
                      *, k, tm):
     def body(j, best):
         a1j = a1_ref[0, pl.ds(j, 1), :, :][0].astype(jnp.float32)
+        # NOT the fast path: the backward matches h == saved-max exactly.
         _, x1 = _em_bn(a1j, st_ref, g_ref, be_ref)
         h = (jnp.dot(x1.astype(jnp.bfloat16), W_ref[:].astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)
