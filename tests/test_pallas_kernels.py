@@ -1021,3 +1021,33 @@ def test_multi_dense_matches_separate_torch_dense(rng):
         )
         np.testing.assert_allclose(np.asarray(y[..., lo:hi]),
                                    np.asarray(out), rtol=1e-5, atol=1e-6)
+
+
+def test_em_bn_fast_matches_exact(rng):
+    """_em_bn_fast (folded scale/shift) must match _em_bn's activation to
+    f32 reassociation tolerance: relu(hhat*g + b) == relu(h*s + t) with
+    s = g*rsqrt(var+eps), t = b - mu*s."""
+    h = jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32) * 3)
+    st = jnp.asarray(np.stack([
+        rng.standard_normal(32).astype(np.float32),
+        rng.random(32).astype(np.float32) + 0.1,
+    ]))
+    g = jnp.asarray(rng.standard_normal((1, 32)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((1, 32)).astype(np.float32))
+
+    class _Ref:
+        def __init__(self, a):
+            self._a = a
+
+        def __getitem__(self, ix):
+            return self._a[ix]
+
+    hhat, a_exact = pallas_kernels._em_bn(h, _Ref(st), _Ref(g), _Ref(b))
+    a_fast = pallas_kernels._em_bn_fast(h, _Ref(st), _Ref(g), _Ref(b))
+    np.testing.assert_allclose(np.asarray(a_fast), np.asarray(a_exact),
+                               rtol=1e-5, atol=1e-5)
+    # hhat sanity: reconstructs a_exact.
+    np.testing.assert_allclose(
+        np.maximum(np.asarray(hhat) * np.asarray(g)[0] + np.asarray(b)[0],
+                   0.0),
+        np.asarray(a_exact), rtol=1e-6, atol=1e-6)
