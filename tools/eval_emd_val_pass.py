@@ -35,9 +35,12 @@ def main():
         weight_decay=0, batch_size=32, manual_seed=1,
     )
     engine.apply_compute_dtype(cfg)
-    # 3 val batches (78 synthetic samples = 32 + 32 + 14-padded).
+    # Default: 3 val batches (78 synthetic samples = 32 + 32 + 14-padded).
+    # Pass a sample count to run more — e.g. 41600 (= the reference val
+    # split, 1300 batches) for a FULL measured eval_emd epoch.
+    n_samples = int(sys.argv[1]) if len(sys.argv) > 1 else 78
     ds = MVPCompletionDataset("val", "/nonexistent-use-synthetic",
-                              num_points=2048, synthetic_size=78)
+                              num_points=2048, synthetic_size=n_samples)
     spec = BatchSpec(int(cfg.batch_size), shuffle=False)
     model = get_model("pcn", cfg)
     b0 = next(ds.batches(spec))
@@ -56,11 +59,11 @@ def main():
     wall = time.time() - t0
     n_batches = ds.steps_per_epoch(spec)
     print(json.dumps({
-        "what": "eval_emd val pass (PCN, n=2048, bs=32, eps=0.004, "
-                "iters=3000, 3 batches)",
+        "what": f"eval_emd val pass (PCN, n=2048, bs=32, eps=0.004, "
+                f"iters=3000, {n_batches} batches)",
         "metrics": {m: round(v, 5) for m, v in res.items()},
         "wall_s": round(wall, 1),
-        "s_per_batch": round(wall / n_batches, 1),
+        "s_per_batch": round(wall / n_batches, 2),
         "est_full_epoch_h_1300_batches": round(wall / n_batches * 1300 / 3600,
                                                2),
     }), flush=True)
